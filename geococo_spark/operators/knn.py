@@ -1,0 +1,89 @@
+"""J5 — kNN fallback for labels unmatched by the exact spatial join
+(SURVEY.md §2.3; north_star "STRtree-backed kNN fallback").
+
+No STRtree is available (no shapely in this container), so the same
+cell-bucketed design is used with a numpy distance kernel: each
+unmatched label searches tiles in its cell neighborhood (expanding
+rings), ranked by exact polygon-to-box distance with deterministic
+(distance, tile_id) tie-breaking.
+
+Distributed shape: neighborhood expansion is an ``explode`` over
+built-in cell arithmetic, candidate scoring is an Arrow-batched pandas
+UDF, and the arg-min per label is a window ``row_number`` partitioned by
+label — all shuffles are keyed and bounded by the candidate count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window
+
+from geococo_spark.geometry import predicates, wkb
+from geococo_spark.operators import cells
+
+
+@pandas_udf(DoubleType())
+def _poly_box_distance(
+    geom: pd.Series, minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+) -> pd.Series:
+    out = []
+    cache: dict[bytes, list] = {}
+    for g, mnx, mny, mxx, mxy in zip(geom, minx, miny, maxx, maxy):
+        g = bytes(g)
+        rings = cache.get(g)
+        if rings is None:
+            rings = wkb.decode_rings(g)
+            cache[g] = rings
+        out.append(
+            predicates.polygon_box_distance(rings, float(mnx), float(mny), float(mxx), float(mxy))
+        )
+    return pd.Series(out)
+
+
+def knn_assign(
+    unmatched_labels: DataFrame,
+    tiles: DataFrame,
+    cell_size: float,
+    k: int = 1,
+    rings: int = 2,
+    label_id: str = "label_id",
+    tile_id: str = "tile_id",
+) -> DataFrame:
+    """Assign each unmatched label its k nearest tiles (by geometry-to-box
+    distance) among tiles in its ``rings``-deep cell neighborhood.
+
+    Labels with no tile in the neighborhood stay unassigned (caller can
+    re-run with larger ``rings``). Deterministic: ties break on tile_id.
+    Returns label columns + tile_id + ``knn_distance`` + ``knn_rank``.
+    """
+    lbl = cells.centroid_cell(
+        unmatched_labels, cell_size, "label_minx", "label_miny", "label_maxx", "label_maxy",
+        out="_ccell",
+    ).withColumn("cell", F.explode(cells.neighbor_cells(F.col("_ccell"), rings))).drop("_ccell")
+
+    tile_cells = cells.with_cell_cover(
+        tiles.select(tile_id, "tile_minx", "tile_miny", "tile_maxx", "tile_maxy"),
+        cell_size, "tile_minx", "tile_miny", "tile_maxx", "tile_maxy",
+    )
+
+    cand = (
+        lbl.join(tile_cells, "cell", "inner")
+        .drop("cell")
+        .dropDuplicates([label_id, tile_id])
+        .withColumn(
+            "knn_distance",
+            _poly_box_distance(
+                F.col("geometry"),
+                F.col("tile_minx"),
+                F.col("tile_miny"),
+                F.col("tile_maxx"),
+                F.col("tile_maxy"),
+            ),
+        )
+    )
+    w = Window.partitionBy(label_id).orderBy(F.col("knn_distance").asc(), F.col(tile_id).asc())
+    return cand.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)

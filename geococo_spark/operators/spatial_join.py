@@ -1,0 +1,177 @@
+"""J1 — the hybrid broadcast-or-shuffle spatial hash join (SURVEY.md §2.3).
+
+Replaces the reference's nested loop over windows x labels
+(geococo/coco_processing.py:102-112, predicate :107) with the scalable
+plan mandated by the north_rule:
+
+1. cover both sides' bboxes with grid cells (pure built-ins, no UDF),
+2. equi-join on ``cell``:
+   - label side under the broadcast threshold -> ``broadcast()`` hint
+     (zero shuffle of the tile side),
+   - else shuffle join with **explicit salting of hot cells**: labels in
+     hot cells are replicated across ``n_salt`` sub-keys, tiles hash to
+     one sub-key — a hot cell's probe work fans out over n_salt tasks,
+3. bbox residual (pure column predicate, evaluated in the join),
+4. exact residual ``intersects(tile_box, label_polygon)`` via a
+   vectorized pandas UDF (Arrow batches; numpy predicates),
+5. ``dropDuplicates`` to undo multi-cell duplication.
+
+At 100 TB the only wide exchanges are the cell-key shuffle (skipped
+entirely in broadcast mode) and the final dedupe, which reuses the same
+key prefix. AQE skew-join is left on as a backstop (session.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from geococo_spark.geometry import predicates, wkb
+from geococo_spark.operators import cells
+
+
+@pandas_udf(BooleanType())
+def _box_intersects_wkb(
+    minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series, geom: pd.Series
+) -> pd.Series:
+    """Exact intersects(box, polygon) on Arrow batches.
+
+    Decodes WKB once per row (labels are small); same semantics as the
+    reference's ``labels.intersects(window_geom)``
+    (geococo/coco_processing.py:107).
+    """
+    out = []
+    cache: dict[bytes, list] = {}
+    for mnx, mny, mxx, mxy, g in zip(minx, miny, maxx, maxy, geom):
+        g = bytes(g)
+        rings = cache.get(g)
+        if rings is None:
+            rings = wkb.decode_rings(g)
+            cache[g] = rings
+        out.append(
+            predicates.box_intersects_polygon(float(mnx), float(mny), float(mxx), float(mxy), rings)
+        )
+    return pd.Series(out)
+
+
+def _bbox_overlap() -> "F.Column":
+    return (
+        (F.col("tile_minx") <= F.col("label_maxx"))
+        & (F.col("tile_maxx") >= F.col("label_minx"))
+        & (F.col("tile_miny") <= F.col("label_maxy"))
+        & (F.col("tile_maxy") >= F.col("label_miny"))
+    )
+
+
+def hot_cells(labels_cells: DataFrame, hot_threshold: int) -> DataFrame:
+    """Census of cells whose label count exceeds the threshold.
+
+    A cheap aggregation on the (already exploded) label-cell table; the
+    result is tiny (top-K skewed keys) and is broadcast into the salting
+    step. Explicit-skew requirement of the north_rule.
+    """
+    return (
+        labels_cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .filter(F.col("cell_n") > hot_threshold)
+        .select("cell", "cell_n")
+    )
+
+
+def spatial_join(
+    tiles: DataFrame,
+    labels: DataFrame,
+    cell_size: float,
+    tile_id: str = "tile_id",
+    label_id: str = "label_id",
+    geometry: str = "geometry",
+    broadcast_rows: int = 1_000_000,
+    n_salt: int = 8,
+    hot_threshold: int = 5_000,
+    exact: bool = True,
+    label_count: int | None = None,
+) -> DataFrame:
+    """Join tiles to intersecting labels.
+
+    :param tiles: must carry ``tile_id, tile_minx, tile_miny, tile_maxx,
+        tile_maxy`` (from grid.with_window_bounds)
+    :param labels: must carry ``label_id, label_minx.., geometry`` (WKB)
+    :param cell_size: spatial hash pitch; choose ~ tile size so a tile
+        covers O(1) cells
+    :param broadcast_rows: label-cell rows under which the label side is
+        broadcast (plan becomes shuffle-free on the tile side)
+    :param n_salt: sub-keys for hot cells in shuffle mode
+    :param hot_threshold: labels-per-cell above which a cell is salted
+    :param exact: apply the exact polygon residual (False = bbox-only
+        join, the SQL-expressible skeleton used by the DuckDB oracle)
+    :param label_count: optional known label count to skip the count job
+    :return: one row per intersecting (tile, label) pair, with all tile
+        and label columns
+    """
+    lbl_cells = cells.with_cell_cover(
+        labels, cell_size, "label_minx", "label_miny", "label_maxx", "label_maxy"
+    )
+    tile_cells = cells.with_cell_cover(
+        tiles, cell_size, "tile_minx", "tile_miny", "tile_maxx", "tile_maxy"
+    )
+
+    n_labels = label_count if label_count is not None else labels.count()
+
+    if n_labels <= broadcast_rows:
+        joined = tile_cells.join(F.broadcast(lbl_cells), "cell", "inner")
+    else:
+        hot = hot_cells(lbl_cells, hot_threshold).withColumn("is_hot", F.lit(True))
+        lbl_salted = (
+            lbl_cells.join(F.broadcast(hot.select("cell", "is_hot")), "cell", "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.when(F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
+                        F.array(F.lit(0))
+                    )
+                ),
+            )
+            .drop("is_hot")
+        )
+        tile_salted = tile_cells.join(
+            F.broadcast(hot.select("cell", "is_hot")), "cell", "left"
+        ).withColumn(
+            "salt",
+            F.when(F.col("is_hot"), F.pmod(F.xxhash64(F.col(tile_id)), n_salt).cast("int"))
+            .otherwise(F.lit(0)),
+        ).drop("is_hot")
+        joined = tile_salted.join(lbl_salted, ["cell", "salt"], "inner").drop("salt")
+
+    joined = joined.filter(_bbox_overlap())
+    if exact:
+        joined = joined.filter(
+            _box_intersects_wkb(
+                F.col("tile_minx"),
+                F.col("tile_miny"),
+                F.col("tile_maxx"),
+                F.col("tile_maxy"),
+                F.col(geometry),
+            )
+        )
+    return joined.drop("cell").dropDuplicates([tile_id, label_id])
+
+
+def spatial_join_brute_force(
+    tiles: DataFrame, labels: DataFrame, tile_id: str = "tile_id", label_id: str = "label_id"
+) -> DataFrame:
+    """Reference-shaped nested-loop join (cross + filter) — the test
+    oracle for :func:`spatial_join` on small data, mirroring
+    geococo/coco_processing.py:102-112. Never used at scale."""
+    joined = tiles.crossJoin(labels).filter(_bbox_overlap())
+    return joined.filter(
+        _box_intersects_wkb(
+            F.col("tile_minx"),
+            F.col("tile_miny"),
+            F.col("tile_maxx"),
+            F.col("tile_maxy"),
+            F.col("geometry"),
+        )
+    )

@@ -1,0 +1,169 @@
+"""Tests for the cell index + hybrid spatial hash join + kNN fallback.
+
+Correctness oracle: the brute-force cross-join (the reference's nested
+loop shape, geococo/coco_processing.py:102-112) on the same inputs.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geococo_spark.geometry import wkb
+from geococo_spark.operators import cells, knn, spatial_join
+
+
+def make_labels(spark, centers, buffers):
+    rows = []
+    for i, ((cx, cy), b) in enumerate(zip(centers, buffers)):
+        ring = wkb.buffer_point(cx, cy, b)
+        rows.append(
+            Row(
+                label_id=i,
+                geometry=bytearray(wkb.encode_polygon([ring])),
+                label_minx=float(cx - b),
+                label_miny=float(cy - b),
+                label_maxx=float(cx + b),
+                label_maxy=float(cy + b),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def make_tiles(spark, grid_n, tile_size, origin=(0.0, 0.0)):
+    rows = []
+    for i in range(grid_n):
+        for j in range(grid_n):
+            x0 = origin[0] + i * tile_size
+            y0 = origin[1] - (j + 1) * tile_size
+            rows.append(
+                Row(
+                    tile_id=i * grid_n + j,
+                    tile_minx=float(x0),
+                    tile_miny=float(y0),
+                    tile_maxx=float(x0 + tile_size),
+                    tile_maxy=float(y0 + tile_size),
+                )
+            )
+    return spark.createDataFrame(rows)
+
+
+def pairs(df):
+    return sorted((r.tile_id, r.label_id) for r in df.select("tile_id", "label_id").collect())
+
+
+class TestCells:
+    def test_cover_counts(self, spark):
+        df = spark.createDataFrame(
+            [Row(minx=0.5, miny=0.5, maxx=1.5, maxy=2.5)]
+        ).withColumn("cover", cells.cover_cells(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), 1.0))
+        cov = df.first()["cover"]
+        assert len(cov) == 2 * 3  # 2 cols x 3 rows of unit cells
+        assert len(set(cov)) == len(cov)
+
+    def test_negative_coords(self, spark):
+        df = spark.createDataFrame([Row(minx=-1.5, miny=-0.5, maxx=-0.5, maxy=0.5)]).withColumn(
+            "cover", cells.cover_cells(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), 1.0)
+        )
+        assert len(df.first()["cover"]) == 4
+
+    def test_neighbor_cells(self, spark):
+        df = spark.createDataFrame([Row(cell=5 * cells.CELL_STRIDE + 7)]).withColumn(
+            "nb", cells.neighbor_cells(F.col("cell"), 1)
+        )
+        nb = df.first()["nb"]
+        assert len(nb) == 9 and 5 * cells.CELL_STRIDE + 7 in nb
+
+    def test_zorder_locality(self, spark):
+        df = spark.createDataFrame([Row(cx=0, cy=0), Row(cx=1, cy=0), Row(cx=512, cy=512)])
+        vals = [r.z for r in df.withColumn("z", cells.zorder_key("cx", "cy")).collect()]
+        assert len(set(vals)) == 3
+        # near cells closer in z than far cells
+        assert abs(vals[1] - vals[0]) < abs(vals[2] - vals[0])
+
+
+class TestSpatialJoin:
+    CENTERS = [(10, -10), (30, -30), (50, -50), (70, -70), (90, -90)]
+    BUFFERS = [1, 2, 3, 4, 1]
+
+    def test_broadcast_matches_brute_force(self, spark):
+        labels = make_labels(spark, self.CENTERS, self.BUFFERS)
+        tiles = make_tiles(spark, 5, 25.0)  # 5x5 tiles of 25px over 125x125
+        fast = spatial_join.spatial_join(tiles, labels, cell_size=25.0)
+        slow = spatial_join.spatial_join_brute_force(tiles, labels)
+        assert pairs(fast) == pairs(slow)
+        assert len(pairs(fast)) > 0
+
+    def test_shuffle_salted_matches_brute_force(self, spark):
+        labels = make_labels(spark, self.CENTERS, self.BUFFERS)
+        tiles = make_tiles(spark, 5, 25.0)
+        fast = spatial_join.spatial_join(
+            tiles, labels, cell_size=25.0, broadcast_rows=0, n_salt=4, hot_threshold=0
+        )
+        slow = spatial_join.spatial_join_brute_force(tiles, labels)
+        assert pairs(fast) == pairs(slow)
+
+    def test_label_spanning_many_cells(self, spark):
+        # big label covering multiple cells must not duplicate pairs
+        labels = make_labels(spark, [(50, -50)], [40])
+        tiles = make_tiles(spark, 4, 30.0)
+        fast = spatial_join.spatial_join(tiles, labels, cell_size=20.0)
+        got = pairs(fast)
+        assert len(got) == len(set(got))
+        slow = spatial_join.spatial_join_brute_force(tiles, labels)
+        assert got == pairs(slow)
+
+    def test_disjoint_labels_produce_no_pairs(self, spark):
+        # reference F2: windows with no intersecting label emit nothing
+        labels = make_labels(spark, [(510, -510)], [3])
+        tiles = make_tiles(spark, 4, 25.0)
+        assert spatial_join.spatial_join(tiles, labels, cell_size=25.0).count() == 0
+
+    def test_bbox_only_mode_superset(self, spark):
+        labels = make_labels(spark, self.CENTERS, self.BUFFERS)
+        tiles = make_tiles(spark, 5, 25.0)
+        bbox_pairs = pairs(spatial_join.spatial_join(tiles, labels, cell_size=25.0, exact=False))
+        exact_pairs = pairs(spatial_join.spatial_join(tiles, labels, cell_size=25.0, exact=True))
+        assert set(exact_pairs) <= set(bbox_pairs)
+
+    def test_skewed_hot_cell(self, spark):
+        # 200 labels piled into one cell + uniform tiles: salted shuffle
+        # join must equal brute force
+        rng = np.random.RandomState(7)
+        centers = [(float(10 + rng.rand() * 5), float(-10 - rng.rand() * 5)) for _ in range(200)]
+        buffers = [0.5] * 200
+        labels = make_labels(spark, centers, buffers)
+        tiles = make_tiles(spark, 3, 10.0)
+        fast = spatial_join.spatial_join(
+            tiles, labels, cell_size=10.0, broadcast_rows=0, n_salt=8, hot_threshold=10
+        )
+        slow = spatial_join.spatial_join_brute_force(tiles, labels)
+        assert pairs(fast) == pairs(slow)
+
+
+class TestKnn:
+    def test_knn_assigns_nearest_tile(self, spark):
+        # label sits between tiles; nearest by distance, tie -> lower id
+        labels = make_labels(spark, [(35.0, -10.0)], [1.0])
+        tiles = make_tiles(spark, 3, 10.0)  # tiles cover x:[0,30]
+        got = knn.knn_assign(labels, tiles, cell_size=10.0, k=1, rings=2).collect()
+        assert len(got) == 1
+        r = got[0]
+        # nearest tile column is x:[20,30], distance 4.0 (bbox gap 35-1=34 -> 30)
+        assert r.tile_maxx == 30.0
+        assert r.knn_distance == pytest.approx(4.0)
+
+    def test_knn_deterministic_ties(self, spark):
+        labels = make_labels(spark, [(10.0, -10.0)], [1.0])
+        tiles = make_tiles(spark, 2, 10.0)  # label centered on 4-corner point
+        got = knn.knn_assign(labels, tiles, cell_size=10.0, k=1, rings=1).collect()
+        assert len(got) == 1 and got[0].knn_distance == 0.0
+        again = knn.knn_assign(labels, tiles, cell_size=10.0, k=1, rings=1).collect()
+        assert got[0].tile_id == again[0].tile_id
+
+    def test_knn_k2(self, spark):
+        labels = make_labels(spark, [(5.0, -5.0)], [1.0])
+        tiles = make_tiles(spark, 3, 10.0)
+        got = knn.knn_assign(labels, tiles, cell_size=10.0, k=2, rings=2).collect()
+        assert len(got) == 2
+        assert sorted(r.knn_rank for r in got) == [1, 2]
