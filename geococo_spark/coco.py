@@ -1,0 +1,221 @@
+"""COCO dataset state: info/versioning (X3), counters (A7), JSON round
+trip (S4/S6) — SURVEY.md §2.9, §3.3.
+
+The four entity collections are DataFrames; ``info`` plus the version
+are a tiny driver-side dict, exactly as SURVEY.md §1.1 maps
+``CocoDataset`` (reference geococo/coco_models.py:14-29).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geococo_spark import schemas
+
+
+def bump_version(version: str, bump_method: str) -> str:
+    """SemVer bump without the semver lib (reference
+    geococo/coco_models.py:130-143; truth table tested at
+    tests/test_coco_models.py:161-178)."""
+    methods = ["patch", "minor", "major"]
+    if bump_method not in methods:
+        raise ValueError(f"bump_method needs to be one of {methods}")
+    core = version.split("-")[0].split("+")[0]
+    major, minor, patch = (int(x) for x in core.split("."))
+    if bump_method == "patch":
+        patch += 1
+    elif bump_method == "minor":
+        minor, patch = minor + 1, 0
+    else:
+        major, minor, patch = major + 1, 0, 0
+    return f"{major}.{minor}.{patch}"
+
+
+@dataclass
+class CocoState:
+    """Driver handle on the four engine tables + info.
+
+    Counters are *derived* from counts (A7, coco_models.py:24-29) so
+    resume-from-checkpoint = load tables + recompute offsets, preserving
+    the append contract (reference tests/test_coco_processing.py:77-107).
+    Note the source-counter asymmetry: next_source_id = len(sources), no
+    +1 (coco_models.py:28).
+    """
+
+    images: DataFrame
+    annotations: DataFrame
+    categories: DataFrame
+    sources: DataFrame
+    info: dict = field(default_factory=dict)
+    tiles: DataFrame | None = None  # tile payloads (bytes) from the last append
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        description: str | None = None,
+        contributor: str | None = None,
+        version: str = "0.0.0",
+        date_created: datetime | None = None,
+    ) -> "CocoState":
+        """create_dataset equivalent (geococo/coco_manager.py:22-47)."""
+        return cls(
+            images=spark.createDataFrame([], schemas.COCO_IMAGES),
+            annotations=spark.createDataFrame([], schemas.COCO_ANNOTATIONS),
+            categories=spark.createDataFrame([], schemas.CATEGORIES),
+            sources=spark.createDataFrame([], schemas.COCO_SOURCES),
+            info={
+                "version": version,
+                "year": date_created.year if date_created else None,
+                "description": description,
+                "contributor": contributor,
+                "date_created": date_created.isoformat() if date_created else None,
+            },
+        )
+
+    def next_image_id(self) -> int:
+        return self.images.count() + 1
+
+    def next_annotation_id(self) -> int:
+        return self.annotations.count() + 1
+
+    def next_source_id(self) -> int:
+        return self.sources.count()
+
+    # ---------- JSON sink/source (S6/S4) ----------
+
+    def to_json_file(self, path: str) -> None:
+        """save_dataset equivalent (geococo/coco_manager.py:50-59).
+
+        The dimension sections are small (images metadata, categories,
+        sources); annotations can be large — for the single-file COCO
+        contract they are collected here, while the scalable path keeps
+        them as parquet/Iceberg tables (checkpoint.py).
+        """
+        doc = {
+            "info": self.info,
+            "images": [
+                {
+                    "id": r["id"],
+                    "width": r["width"],
+                    "height": r["height"],
+                    "file_name": r["file_name"],
+                    "source_id": r["source_id"],
+                    "date_captured": r["date_captured"].isoformat()
+                    if r["date_captured"]
+                    else None,
+                }
+                for r in self.images.orderBy("id").collect()
+            ],
+            "annotations": [
+                {
+                    "id": r["id"],
+                    "image_id": r["image_id"],
+                    "category_id": r["category_id"],
+                    "segmentation": {
+                        "size": list(r["segmentation"]["size"]),
+                        # COCO JSON carries counts ascii-decoded
+                        "counts": bytes(r["segmentation"]["counts"]).decode("ascii"),
+                    },
+                    "area": r["area"],
+                    "bbox": list(r["bbox"]),
+                    "iscrowd": r["iscrowd"],
+                }
+                for r in self.annotations.orderBy("id").collect()
+            ],
+            "categories": [
+                {"id": r["id"], "name": r["name"], "supercategory": r["supercategory"]}
+                for r in self.categories.orderBy("id").collect()
+            ],
+            "sources": [
+                {
+                    "id": r["id"],
+                    "file_name": r["file_name"],
+                    "date_captured": r["date_captured"].isoformat()
+                    if r["date_captured"]
+                    else None,
+                }
+                for r in self.sources.orderBy("id").collect()
+            ],
+        }
+        with open(path, "w") as fh:
+            json.dump(doc, fh)
+
+    @classmethod
+    def from_json_file(cls, spark: SparkSession, path: str) -> "CocoState":
+        """load_dataset equivalent (geococo/coco_manager.py:7-19)."""
+        with open(path) as fh:
+            doc = json.load(fh)
+
+        def ts(v):
+            return datetime.fromisoformat(v) if v else None
+
+        images = spark.createDataFrame(
+            [
+                (r["id"], r["width"], r["height"], r["file_name"], r["source_id"], ts(r["date_captured"]))
+                for r in doc.get("images", [])
+            ],
+            schemas.COCO_IMAGES,
+        )
+        annotations = spark.createDataFrame(
+            [
+                (
+                    r["id"],
+                    r["image_id"],
+                    r["category_id"],
+                    (r["segmentation"]["size"], r["segmentation"]["counts"].encode("ascii")),
+                    r["area"],
+                    r["bbox"],
+                    r["iscrowd"],
+                )
+                for r in doc.get("annotations", [])
+            ],
+            schemas.COCO_ANNOTATIONS,
+        )
+        categories = spark.createDataFrame(
+            [(r["id"], r["name"], r["supercategory"]) for r in doc.get("categories", [])],
+            schemas.CATEGORIES,
+        )
+        sources = spark.createDataFrame(
+            [(r["id"], r["file_name"], ts(r["date_captured"])) for r in doc.get("sources", [])],
+            schemas.COCO_SOURCES,
+        )
+        return cls(images, annotations, categories, sources, doc.get("info", {}))
+
+    # ---------- sources / version bumps (J4/X3) ----------
+
+    def register_source(self, file_name: str, date_captured: datetime | None) -> int:
+        """add_source equivalent (geococo/coco_models.py:39-54): reuse id
+        on filename match (-> patch bump) else append (-> minor bump).
+        Returns the source id."""
+        existing = {
+            r["file_name"]: r["id"] for r in self.sources.select("file_name", "id").collect()
+        }
+        if file_name in existing:
+            self.info["version"] = bump_version(self.info["version"], "patch")
+            return int(existing[file_name])
+        new_id = len(existing) + 1
+        spark = self.sources.sparkSession
+        new_row = spark.createDataFrame(
+            [(new_id, file_name, date_captured)], schemas.COCO_SOURCES
+        )
+        self.sources = self.sources.unionByName(new_row)
+        self.info["version"] = bump_version(self.info["version"], "minor")
+        return new_id
+
+    def verify_used_dir(self, images_dir: str) -> None:
+        """Major bump when images_dir unseen (coco_models.py:145-148)."""
+        # dirs = the path prefix of each image file_name
+        dirs = {
+            r["d"]
+            for r in self.images.select(
+                F.regexp_extract("file_name", r"^(.*)/[^/]+$", 1).alias("d")
+            ).collect()
+        }
+        if images_dir.rstrip("/") not in dirs:
+            self.info["version"] = bump_version(self.info["version"], "major")

@@ -1,0 +1,153 @@
+"""The fused tile kernel (SURVEY.md §3.2 steps ⑬-㉑, one Arrow pass).
+
+Replaces the reference's per-window loop body
+(geococo/coco_processing.py:102-186): decode each source image ONCE,
+then for every matched tile window cut/pad/normalize/encode the tile and
+rasterize its labels to RLE/bbox/area — all inside one cogrouped
+``applyInPandas``. The relational plan upstream (grid + spatial join)
+guarantees the kernel only ever sees windows that intersect >= 1 label
+(the reference's F2 skip falls out of the join, SURVEY.md §4.1).
+
+Reference-exact quirks preserved (SURVEY.md §7.6):
+- pad target shape is (bands, width, height) — the reference's swapped
+  convention (coco_processing.py:118),
+- padding value is ``nodata if nodata else 0`` (falsy-zero,
+  coco_processing.py:90),
+- masks are rasterized against the *tile* transform (post-crop grid),
+  matching mask-on-written-JPEG (coco_processing.py:164-166),
+- per-(tile,label) rows with empty masks are dropped (F3, :167-168) but
+  the tile row itself is still emitted (:186),
+- iscrowd = 1 iff MultiPolygon (:173).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from geococo_spark.geometry import rasterize, rle, wkb
+from geococo_spark.kernels import codec
+
+
+def run_tile_kernel(
+    image_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame, out_fmt: str = "jpeg"
+) -> pd.DataFrame:
+    """Kernel body for ONE source image group (cogrouped applyInPandas).
+
+    :param image_pdf: exactly one row of the images table
+    :param pairs_pdf: matched (tile, label) pairs for this image
+    :return: KERNEL_OUT rows (tile rows + annotation rows)
+    """
+    out: list[dict] = []
+    if len(image_pdf) == 0 or len(pairs_pdf) == 0:
+        return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
+    img = image_pdf.iloc[0]
+    arr = codec.decode_image(bytes(img["bytes"]))
+    t = img["transform"]
+    a, c, e, f = float(t["a"]), float(t["c"]), float(t["e"]), float(t["f"])
+    nodata = img["nodata"]
+    nodata_value = int(nodata) if (nodata is not None and not pd.isna(nodata) and nodata) else 0
+    bands = int(img["bands"])
+    caption = img["caption"]
+    image_key = str(img["image_id"])
+
+    geom_cache: dict[bytes, tuple[str, list[np.ndarray]]] = {}
+
+    for (col_off, row_off, width, height), group in pairs_pdf.groupby(
+        ["col_off", "row_off", "width", "height"], sort=False
+    ):
+        col_off, row_off, width, height = int(col_off), int(row_off), int(width), int(height)
+        # S2/R2: crop — grid starts clamp at 0, so only right/bottom overhang
+        window_image = arr[:, row_off : row_off + height, col_off : col_off + width]
+        # R3: pad to the reference's (bands, width, height) target shape
+        window_shape = (bands, width, height)
+        if window_image.shape != window_shape:
+            window_image = codec.reshape_image(window_image, window_shape, nodata_value)
+        # R4: normalize (uint8 passthrough)
+        window_image = codec.normalize_minmax_uint8(window_image)
+        # R8/X2: encode tile + reference filename
+        tile_name = f"{col_off}_{row_off}_{width}_{height}"
+        tile_bytes = codec.encode_image(window_image, out_fmt)
+
+        # tile transform (window origin in world coords)
+        tile_transform = (a, 0.0, c + a * col_off, 0.0, e, f + e * row_off)
+        # the written tile has width=shape[1], height=shape[2]
+        # (coco_processing.py:136-141); mask grid is (rows=height, cols=width)
+        tile_w = int(window_image.shape[1])
+        tile_h = int(window_image.shape[2])
+
+        out.append(
+            {
+                "row_type": "tile",
+                "image_key": image_key,
+                "tile_name": tile_name,
+                "col_off": col_off,
+                "row_off": row_off,
+                "width": width,
+                "height": height,
+                "tile_width": tile_w,
+                "tile_height": tile_h,
+                "tile_bytes": tile_bytes,
+                "caption": caption,
+                "label_idx": None,
+                "category_id": None,
+                "rle_size": None,
+                "rle_counts": None,
+                "area": None,
+                "bbox": None,
+                "iscrowd": None,
+            }
+        )
+
+        for _, pair in group.iterrows():
+            g = bytes(pair["geometry"])
+            cached = geom_cache.get(g)
+            if cached is None:
+                cached = (wkb.geom_type(g), wkb.decode_rings(g))
+                geom_cache[g] = cached
+            gtype, rings = cached
+            # R1: all_touched rasterize on the tile grid
+            mask = rasterize.rasterize_all_touched(rings, tile_transform, (tile_h, tile_w))
+            if not mask.any():  # F3
+                continue
+            enc = rle.encode(mask)  # R5
+            out.append(
+                {
+                    "row_type": "ann",
+                    "image_key": image_key,
+                    "tile_name": tile_name,
+                    "col_off": col_off,
+                    "row_off": row_off,
+                    "width": width,
+                    "height": height,
+                    "tile_width": tile_w,
+                    "tile_height": tile_h,
+                    "tile_bytes": None,
+                    "caption": None,
+                    "label_idx": int(pair["label_idx"]),
+                    "category_id": int(pair["id"]),
+                    "rle_size": enc["size"],
+                    "rle_counts": enc["counts"],
+                    "area": float(mask.sum()),  # A4
+                    "bbox": rasterize.bounding_rect(mask),  # R6
+                    "iscrowd": 1 if gtype == "MultiPolygon" else 0,  # R7
+                }
+            )
+    return pd.DataFrame(out, columns=[f.name for f in _kernel_fields()])
+
+
+def _kernel_fields():
+    from geococo_spark.schemas import KERNEL_OUT
+
+    return KERNEL_OUT.fields
+
+
+def cogroup_kernel(out_fmt: str = "jpeg"):
+    """Factory for the applyInPandas function (cogrouped by image_id)."""
+
+    def _fn(image_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
+        return run_tile_kernel(image_pdf, pairs_pdf, out_fmt=out_fmt)
+
+    return _fn

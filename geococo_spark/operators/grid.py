@@ -115,17 +115,26 @@ def with_window_bounds(
     df: DataFrame,
     transform_col: str = "transform",
     prefix: str = "tile_",
+    flat: bool = False,
 ) -> DataFrame:
     """T3: world-coordinate bounds of each (col_off,row_off,width,height).
 
     Pure arithmetic on the affine struct (x = a*col + c, y = e*row + f for
     north-up rasters), replicating generate_window_polygon
     (geococo/utils.py:89-103) without materializing polygon objects.
+
+    ``flat=True`` reads plain columns ``t_a/t_c/t_e/t_f`` instead of the
+    struct — required after explode_window_grid, where struct-field
+    extraction trips a Catalyst attribute-resolution bug (Spark 4.1,
+    GetStructField + repeated generators).
     """
-    a = F.col(f"{transform_col}.a")
-    c = F.col(f"{transform_col}.c")
-    e = F.col(f"{transform_col}.e")
-    f_ = F.col(f"{transform_col}.f")
+    if flat:
+        a, c, e, f_ = F.col("t_a"), F.col("t_c"), F.col("t_e"), F.col("t_f")
+    else:
+        a = F.col(f"{transform_col}.a")
+        c = F.col(f"{transform_col}.c")
+        e = F.col(f"{transform_col}.e")
+        f_ = F.col(f"{transform_col}.f")
     x0 = a * F.col("col_off") + c
     x1 = a * (F.col("col_off") + F.col("width")) + c
     y0 = e * F.col("row_off") + f_

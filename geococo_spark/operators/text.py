@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(driver brief: language-ID, quality scoring, token counting, document
+fingerprinting). All hot-path expressions are Spark built-ins (JVM-side,
+whole-stage codegen); no Python UDFs.
+
+Outputs are integers/strings (or explicitly rounded doubles) so the
+DuckDB oracle can reproduce them hash-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword set for the n-gram language heuristic
+EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it"]
+PUNCT = ".,!?;:"
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring via the length-difference trick
+    (identical semantics in Spark and ANSI SQL/DuckDB)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + distinct tokens + char count."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.withColumn("n_chars_m", F.length(F.col(text_col)).cast("long"))
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("long"))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation count/ratio, stopword count/
+    ratio, mean token length — the standard cheap text-quality features.
+    Ratios are rounded to 6 dp for oracle hash parity."""
+    out = with_token_stats(df, text_col)
+    text = F.col(text_col)
+    punct = sum(
+        (_count_occurrences(text, ch) for ch in PUNCT[1:]),
+        _count_occurrences(text, PUNCT[0]),
+    )
+    stop = None
+    for w in EN_STOPWORDS:
+        c = _count_occurrences(F.concat(F.lit(" "), text, F.lit(" ")), f" {w} ")
+        stop = c if stop is None else stop + c
+    return (
+        out.withColumn("n_punct", punct)
+        .withColumn("n_stopwords", stop)
+        .withColumn(
+            "punct_ratio", F.round(punct / F.greatest(F.col("n_chars_m"), F.lit(1)), 6)
+        )
+        .withColumn(
+            "stopword_ratio", F.round(stop / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(F.col("n_chars_m") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: English stopword density -> 'en' / 'unk'.
+
+    Deterministic and SQL-expressible; a real n-gram model would slot in
+    as a pandas UDF without changing the plan shape."""
+    out = with_quality(df, text_col)
+    return out.withColumn(
+        "lang_pred",
+        F.when(
+            (F.col("n_stopwords") * 20 >= F.col("n_tokens")) & (F.col("n_tokens") > 0), "en"
+        ).otherwise("unk"),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", prefix_len: int = 64) -> DataFrame:
+    """Document fingerprint: position-weighted checksum of the first
+    ``prefix_len`` code points, mod 2^31-1 (a rolling-hash stand-in that
+    both Spark and DuckDB evaluate with exact integer arithmetic)."""
+    text = F.col(text_col)
+    n = F.least(F.length(text), F.lit(prefix_len))
+    terms = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: i.cast("long") * F.ascii(F.substring(text, i, 1)).cast("long"),
+    )
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.withColumn(
+        "fingerprint", F.when(F.length(text) > 0, total % F.lit(2147483647)).otherwise(F.lit(0))
+    )

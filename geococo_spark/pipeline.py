@@ -1,0 +1,329 @@
+"""End-to-end append pipeline — the distributed equivalent of the
+reference's ``append_dataset`` (geococo/coco_processing.py:28-187,
+mapped stage-by-stage in SURVEY.md §3.2).
+
+Driver prologue (steps ①-⑨, scalars + tiny dimension tables), then the
+distributed DAG:
+
+    tiles = images x explode(grid)            (T1-T3, built-ins)
+    pairs = spatial_join(tiles, labels)       (J1, broadcast-or-salted)
+    kout  = images cogroup pairs |> kernel    (R1-R9, one Arrow pass)
+    coco_images, coco_annotations = ids(kout) (W1/W2, two-pass at scale)
+
+Shuffle inventory at 100 TB: one exchange for the cell join (skipped in
+broadcast mode), one groupBy image_id feeding the cogrouped kernel, and
+the id-assignment range exchanges over *metadata-only* rows (tile_bytes
+never flows through a wide exchange after the kernel when a
+checkpoint_dir is set — the kernel output is written once and re-read).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from geococo_spark import schemas
+from geococo_spark.coco import CocoState
+from geococo_spark.geometry import predicates, wkb
+from geococo_spark.kernels.tile_kernel import cogroup_kernel
+from geococo_spark.operators import categories as cat_ops
+from geococo_spark.operators import grid, ids, spatial_join
+
+
+class SchemaValidationError(ValueError):
+    """Engine analog of pandera's SchemaError (F4, geococo/utils.py:228-265)."""
+
+
+@pandas_udf(BooleanType())
+def _geometry_is_valid(geom: pd.Series) -> pd.Series:
+    out = []
+    for g in geom:
+        try:
+            rings = wkb.decode_rings(bytes(g))
+            ok = len(rings) > 0
+            for ring in rings:
+                if len(ring) < 4 or not (ring[0] == ring[-1]).all():
+                    ok = False
+                    break
+                if abs(predicates.ring_area(ring)) == 0.0:
+                    ok = False
+                    break
+                if not predicates.ring_is_simple(ring):
+                    ok = False
+                    break
+            out.append(ok)
+        except Exception:
+            out.append(False)
+    return pd.Series(out)
+
+
+def validate_labels(
+    labels: DataFrame,
+    id_attribute: str | None = "category_id",
+    name_attribute: str | None = None,
+    super_attribute: str | None = None,
+) -> DataFrame:
+    """F4 — schema-on-read validation + coercion (geococo/utils.py:228-265).
+
+    - geometry must be valid (pandera Check is_valid, utils.py:248),
+    - id attribute coerced to int, must be > 0 (utils.py:251-253),
+    - name/super attributes must be strings (utils.py:254-255),
+    - at least one of id/name present (utils.py:261-263).
+    Raises :class:`SchemaValidationError` on any violation, like the
+    reference's SchemaError (tests/test_utils.py:359-427).
+    """
+    cols = labels.columns
+    present_id = id_attribute is not None and id_attribute in cols
+    present_name = name_attribute is not None and name_attribute in cols
+    if not present_id and not present_name:
+        raise AttributeError("At least one category attribute must be present")
+
+    checked = labels.withColumn("_geom_ok", _geometry_is_valid(F.col("geometry")))
+    bad_geom = checked.filter(~F.col("_geom_ok")).count()
+    if bad_geom:
+        raise SchemaValidationError(f"Invalid geometry found ({bad_geom} rows)")
+    out = checked.drop("_geom_ok")
+
+    if present_id:
+        dtype = dict(labels.dtypes)[id_attribute]
+        if dtype in ("string",):
+            raise SchemaValidationError(f"{id_attribute} must be numeric, got {dtype}")
+        coerced = out.withColumn(id_attribute, F.col(id_attribute).cast("int"))
+        violations = coerced.filter(
+            F.col(id_attribute).isNull() | (F.col(id_attribute) <= 0)
+        ).count()
+        if violations:
+            raise SchemaValidationError(f"{id_attribute} must be int > 0 ({violations} rows)")
+        out = coerced
+    for attr in (name_attribute, super_attribute):
+        if attr is not None and attr in cols:
+            if dict(labels.dtypes)[attr] != "string":
+                raise SchemaValidationError(f"{attr} must be str")
+    return out
+
+
+def append_dataset(
+    spark: SparkSession,
+    state: CocoState,
+    images: DataFrame,
+    labels: DataFrame,
+    images_dir: str = "images",
+    window_bounds: list[tuple[int, int]] = [(256, 256), (512, 512)],
+    quantile: float = 0.9,
+    id_attribute: str | None = "category_id",
+    name_attribute: str | None = None,
+    super_attribute: str | None = None,
+    out_fmt: str = "jpeg",
+    cell_size: float | None = None,
+    date_captured: datetime | None = None,
+    checkpoint_dir: str | None = None,
+    broadcast_rows: int = 1_000_000,
+) -> CocoState:
+    """Run the full annotate pipeline and return the appended state.
+
+    ``images`` rows follow schemas.IMAGES; ``labels`` rows carry WKB
+    ``geometry`` + user attribute columns + precomputed bounds columns
+    (label_minx..label_maxy) + ``label_idx`` + ``geom_type``.
+    """
+    # ① validate (F4)
+    labels = validate_labels(labels, id_attribute, name_attribute, super_attribute)
+
+    # ② category maintenance (J3/A5/A6/W4)
+    state.categories = cat_ops.add_categories(
+        state.categories,
+        labels,
+        id_col=id_attribute,
+        name_col=name_attribute,
+        super_col=super_attribute,
+    )
+
+    # ③ J2 — canonical (id, name, supercategory) onto labels + count guard
+    n_labels = labels.count()
+    labels = cat_ops.update_labels(
+        labels, state.categories, id_col=id_attribute, name_col=name_attribute
+    )
+    if labels.count() != n_labels:
+        raise ValueError("label(s) without matching Category (reference raises ValueError)")
+
+    # ④ A1/A2 — one aggregation job over labels for extents + quantiles
+    agg = labels.agg(
+        F.min("label_minx").alias("minx"),
+        F.min("label_miny").alias("miny"),
+        F.max("label_maxx").alias("maxx"),
+        F.max("label_maxy").alias("maxy"),
+        F.expr(f"percentile(label_maxx - label_minx, {quantile})").alias("qw"),
+        F.expr(f"percentile(label_maxy - label_miny, {quantile})").alias("qh"),
+    ).first()
+    vminx, vminy, vmaxx, vmaxy = (float(agg[k]) for k in ("minx", "miny", "maxx", "maxy"))
+
+    # ⑤-⑦ CRS guard (F5), schema estimate (T4) — driver scalars
+    crs_vals = [r["crs"] for r in images.select("crs").distinct().collect()]
+    lbl_crs = [r["crs"] for r in labels.select("crs").distinct().limit(2).collect()]
+    if lbl_crs and set(crs_vals) - set(lbl_crs):
+        raise ValueError("CRS of input raster and labels don't match, exiting..")
+    first_t = images.select("transform").first()["transform"]
+    res = (abs(float(first_t["a"])), abs(float(first_t["e"])))
+    schema = grid.estimate_schema(float(agg["qw"]), float(agg["qh"]), res, window_bounds)
+
+    # A3 — per-image parent window = raster window ∩ label-extent window
+    t = "transform"
+    rb_x0 = F.col(f"{t}.c")
+    rb_x1 = F.col(f"{t}.c") + F.col(f"{t}.a") * F.col("w")
+    rb_y0 = F.col(f"{t}.f")
+    rb_y1 = F.col(f"{t}.f") + F.col(f"{t}.e") * F.col("h")
+    # pixel-space windows via from_bounds (utils.py:55-58)
+    v_col = (F.lit(vminx) - F.col(f"{t}.c")) / F.col(f"{t}.a")
+    v_row = (F.lit(vmaxy) - F.col(f"{t}.f")) / F.col(f"{t}.e")
+    v_w = F.lit(vmaxx - vminx) / F.col(f"{t}.a")
+    v_h = (F.lit(vminy) - F.lit(vmaxy)) / F.col(f"{t}.e")
+    with_parent = (
+        images.withColumn("_rc0", F.lit(0.0))
+        .withColumn("_rr0", F.lit(0.0))
+        .withColumn("_p0", F.greatest(F.col("_rc0"), v_col))
+        .withColumn("_q0", F.greatest(F.col("_rr0"), v_row))
+        .withColumn("_p1", F.least(F.col("w").cast("double"), v_col + v_w))
+        .withColumn("_q1", F.least(F.col("h").cast("double"), v_row + v_h))
+        .withColumn("parent_col_off", F.col("_p0").cast("long"))
+        .withColumn("parent_row_off", F.col("_q0").cast("long"))
+        .withColumn("parent_width", (F.col("_p1") - F.col("_p0")).cast("long"))
+        .withColumn("parent_height", (F.col("_q1") - F.col("_q0")).cast("long"))
+        .drop("_rc0", "_rr0", "_p0", "_q0", "_p1", "_q1")
+    )
+    overlapping = with_parent.filter((F.col("parent_width") > 0) & (F.col("parent_height") > 0))
+    if overlapping.limit(1).count() == 0:
+        raise ValueError("Extent of input raster and vector don't overlap")
+
+    # ⑨ sources + version bumps (J4/X3) — tiny, driver-side
+    img_ids = [r["image_id"] for r in images.select("image_id").orderBy("image_id").collect()]
+    source_map = {iid: state.register_source(iid, date_captured) for iid in img_ids}
+    state.verify_used_dir(images_dir)
+    src_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in source_map.items()], ["image_key", "source_id"]
+        )
+    )
+
+    # ⑩-⑫ tile grid (T1-T3) + spatial join (J1); transform flattened to
+    # plain columns before the explodes (struct extraction after repeated
+    # generators hits a Catalyst resolution bug in Spark 4.1)
+    tiles = grid.explode_window_grid(
+        overlapping.select(
+            "image_id",
+            F.col("transform.a").alias("t_a"),
+            F.col("transform.c").alias("t_c"),
+            F.col("transform.e").alias("t_e"),
+            F.col("transform.f").alias("t_f"),
+            "parent_col_off", "parent_row_off",
+            "parent_width", "parent_height",
+        ),
+        schema,
+    )
+    tiles = grid.with_window_bounds(tiles, flat=True).select(
+        F.col("image_id").alias("tile_image_id"),
+        F.concat_ws(
+            "_",
+            F.col("image_id"),
+            F.col("col_off"),
+            F.col("row_off"),
+            F.col("width"),
+            F.col("height"),
+        ).alias("tile_id"),
+        "col_off", "row_off", "width", "height",
+        "tile_minx", "tile_miny", "tile_maxx", "tile_maxy",
+    )
+    if cell_size is None:
+        cell_size = float(schema.width_window * res[0])
+    pairs = spatial_join.spatial_join(
+        tiles,
+        labels.select(
+            "label_idx", "geometry", "geom_type", "id",
+            "label_minx", "label_miny", "label_maxx", "label_maxy",
+        ),
+        cell_size=cell_size,
+        label_id="label_idx",
+        broadcast_rows=broadcast_rows,
+        label_count=n_labels,
+    )
+
+    # ⑬-㉑ fused kernel over cogrouped (image, its pairs). The pairs plan
+    # re-reads the images subtree (grid side), so its lineage is truncated
+    # here — metadata-only rows, cheap to materialize — which both avoids
+    # re-running the join per downstream action and sidesteps Catalyst
+    # self-join attribute collisions on the struct extraction.
+    pairs_small = pairs.select(
+        F.col("tile_image_id").alias("image_id"),
+        "col_off", "row_off", "width", "height",
+        "label_idx", "geometry", "id",
+    ).localCheckpoint()
+    kout = (
+        images.groupBy("image_id")
+        .cogroup(pairs_small.groupBy("image_id"))
+        .applyInPandas(cogroup_kernel(out_fmt), schemas.KERNEL_OUT)
+    )
+    if checkpoint_dir is not None:
+        kout.write.mode("overwrite").parquet(f"{checkpoint_dir}/kernel_out")
+        kout = spark.read.parquet(f"{checkpoint_dir}/kernel_out")
+
+    kout = kout.join(src_df, "image_key")
+
+    # ⑰/W1 — image ids in window-generation order (col outer, row inner)
+    tile_rows = kout.filter(F.col("row_type") == "tile")
+    coco_images_new = ids.assign_sequential_ids(
+        tile_rows,
+        ["source_id", "col_off", "row_off"],
+        "id",
+        offset=state.next_image_id() - 1,
+    ).select(
+        "id",
+        F.col("tile_width").alias("width"),
+        F.col("tile_height").alias("height"),
+        F.concat(
+            F.lit(images_dir + "/"),
+            F.col("source_id"),
+            F.lit("_"),
+            F.col("tile_name"),
+            F.lit(".jpg"),
+        ).alias("file_name"),
+        F.col("source_id").cast("long").alias("source_id"),
+        F.lit(date_captured).cast("timestamp").alias("date_captured"),
+        "image_key", "tile_name", "tile_bytes", "caption",
+    )
+
+    # ㉒/W2 — annotation ids ordered by (image order, category id, label idx)
+    ann_rows = kout.filter(F.col("row_type") == "ann")
+    img_map = F.broadcast(
+        coco_images_new.select("image_key", "tile_name", F.col("id").alias("coco_image_id"))
+    )
+    coco_annotations_new = ids.assign_sequential_ids(
+        ann_rows.join(img_map, ["image_key", "tile_name"]),
+        ["source_id", "col_off", "row_off", "category_id", "label_idx"],
+        "id",
+        offset=state.next_annotation_id() - 1,
+    ).select(
+        "id",
+        F.col("coco_image_id").alias("image_id"),
+        "category_id",
+        F.struct(F.col("rle_size").alias("size"), F.col("rle_counts").alias("counts")).alias(
+            "segmentation"
+        ),
+        "area",
+        "bbox",
+        "iscrowd",
+    )
+
+    # O3 — append without mutating prior rows
+    state.images = state.images.unionByName(
+        coco_images_new.select(
+            "id", "width", "height", "file_name", "source_id", "date_captured"
+        )
+    )
+    state.annotations = state.annotations.unionByName(coco_annotations_new)
+    state.tiles = coco_images_new.select(
+        "id", "file_name", "tile_bytes", "caption", "image_key", "tile_name"
+    )
+    return state

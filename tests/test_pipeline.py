@@ -1,0 +1,250 @@
+"""End-to-end pipeline parity tests (reference tests/test_coco_processing.py).
+
+The minimum end-to-end slice of SURVEY.md §7.3: seeded 256x256x3 image +
+the 5-polygon fixture labels -> grid -> join -> kernel -> ids -> COCO
+tables, with the reference's invariants (category propagation, id
+density, append-without-mutation, JSON round-trip).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geococo_spark import pipeline
+from geococo_spark.coco import CocoState, bump_version
+from geococo_spark.geometry import predicates, rle, wkb
+from geococo_spark.kernels import codec
+from geococo_spark.sources import datagen
+
+
+@pytest.fixture(scope="module")
+def appended(spark, tmp_path_factory):
+    state = CocoState.create(spark, description="t", contributor="pytest")
+    images = datagen.images_df(spark, 1)
+    labels = datagen.labels_df(spark)
+    out = pipeline.append_dataset(
+        spark,
+        state,
+        images,
+        labels,
+        images_dir="imgdir",
+        window_bounds=[(256, 256), (512, 512)],
+        id_attribute="category_id",
+        name_attribute="class_names",
+    )
+    out.images = out.images.cache()
+    out.annotations = out.annotations.cache()
+    return out
+
+
+class TestAppendDataset:
+    def test_categories_propagated(self, appended):
+        cats = sorted(
+            (r.id, r.name, r.supercategory) for r in appended.categories.collect()
+        )
+        assert cats == [(1, "One", "1"), (2, "Two", "1"), (5, "Five", "1")]
+
+    def test_single_window_covers_all(self, appended):
+        # window_bounds (256,256) + fixture extent -> overlap 8, step 240;
+        # parent window (9,9,82,82) -> one window at arange start
+        # max(0, 9-8) = 1 (reference utils.py:114-118)
+        imgs = appended.images.collect()
+        assert len(imgs) == 1
+        assert imgs[0].width == 256 and imgs[0].height == 256
+        assert imgs[0].id == 1
+        assert imgs[0].source_id == 1
+        assert imgs[0].file_name == "imgdir/1_1_1_256_256.jpg"
+
+    def test_annotation_ids_dense_and_ordered(self, appended):
+        anns = appended.annotations.orderBy("id").collect()
+        assert [a.id for a in anns] == list(range(1, len(anns) + 1))
+        # all five labels intersect the single window; sorted by category id
+        assert len(anns) == 5
+        assert [a.category_id for a in anns] == [1, 2, 2, 5, 5]
+
+    def test_annotation_geometry_values(self, appended):
+        # mask invariants per annotation: area >= polygon area; bbox within
+        # window; RLE round-trips to the stated area
+        anns = appended.annotations.collect()
+        areas = {}
+        for (cx, cy), b, cid in zip(
+            datagen.FIXTURE_CENTERS, datagen.FIXTURE_BUFFERS, datagen.FIXTURE_CATEGORY_IDS
+        ):
+            ring = wkb.buffer_point(cx, cy, b)
+            areas.setdefault(cid, []).append(predicates.polygon_area([ring]))
+        for a in anns:
+            assert a.area > 0
+            mask = rle.decode(
+                {"size": list(a.segmentation.size), "counts": bytes(a.segmentation.counts)}
+            )
+            assert mask.sum() == a.area
+            x, y, w, h = a.bbox
+            assert w > 0 and h > 0 and x >= 0 and y >= 0
+            assert x + w <= 256 and y + h <= 256
+            assert a.iscrowd == 0
+            assert any(a.area >= pa for pa in areas[a.category_id])
+
+    def test_bbox_matches_geometry_location(self, appended):
+        # first annotation: category 1 label at (10,-10) r=1 -> pixel
+        # bbox around col 9..11, row 9..11 on the identity grid
+        a = appended.annotations.orderBy("id").first()
+        x, y, w, h = a.bbox
+        assert 8 <= x <= 9 and 8 <= y <= 9 and 2 <= w <= 4 and 2 <= h <= 4
+
+    def test_tile_bytes_decode_psnr(self, appended):
+        # input_hint per-row invariant: decoded tile PSNR >= 40 dB vs the
+        # source pixels + caption equality
+        tiles = appended.tiles.collect()
+        assert len(tiles) == 1
+        src = codec.decode_image(
+            bytes(datagen.make_image_rows(1)[0][1])
+        )  # original raster
+        # reference clip for window (1,1,256,256): crop + zero-pad (R2+R3)
+        expected = np.zeros((3, 256, 256), dtype=np.uint8)
+        expected[:, :255, :255] = src[:, 1:256, 1:256]
+        tile = codec.decode_image(bytes(tiles[0].tile_bytes))
+        assert tile.shape == (3, 256, 256)
+        assert codec.psnr(expected, tile) >= 40.0
+        assert tiles[0].caption == "synthetic scene 0"
+
+    def test_disjoint_labels_raise(self, spark):
+        state = CocoState.create(spark)
+        images = datagen.images_df(spark, 1)
+        labels = datagen.labels_df(spark, centers=datagen.FIXTURE_CENTERS_FAR)
+        with pytest.raises(ValueError, match="don't overlap"):
+            pipeline.append_dataset(spark, state, images, labels)
+
+    def test_version_bumped(self, appended):
+        # create 0.0.0 -> new dir (major) + new source (minor) applied;
+        # reference order: add_source (minor) then verify_used_dir (major)
+        assert appended.info["version"] == "1.0.0"
+
+
+class TestAppendContract:
+    def test_second_append_continues_ids(self, spark):
+        # reference tests/test_coco_processing.py:77-107: re-running
+        # appends and never mutates prior rows
+        state = CocoState.create(spark)
+        images = datagen.images_df(spark, 1)
+        labels = datagen.labels_df(spark)
+        state = pipeline.append_dataset(
+            spark, state, images, labels, images_dir="d1",
+            id_attribute="category_id", name_attribute="class_names",
+        )
+        first_images = state.images.collect()
+        first_anns = state.annotations.collect()
+        state = pipeline.append_dataset(
+            spark, state, images, labels, images_dir="d1",
+            id_attribute="category_id", name_attribute="class_names",
+        )
+        again_images = state.images.orderBy("id").collect()
+        again_anns = state.annotations.orderBy("id").collect()
+        assert len(again_images) == 2 * len(first_images)
+        assert len(again_anns) == 2 * len(first_anns)
+        # prior rows byte-identical
+        assert again_images[: len(first_images)] == sorted(first_images, key=lambda r: r.id)
+        assert again_anns[: len(first_anns)] == sorted(first_anns, key=lambda r: r.id)
+        # ids dense across appends
+        assert [r.id for r in again_anns] == list(range(1, len(again_anns) + 1))
+        # same source re-used -> patch bump after initial minor+major
+        assert state.info["version"] == "1.0.1"
+
+    def test_mid_append_new_categories(self, spark):
+        state = CocoState.create(spark)
+        images = datagen.images_df(spark, 1)
+        labels = datagen.labels_df(spark)
+        state = pipeline.append_dataset(
+            spark, state, images, labels, id_attribute="category_id",
+            name_attribute="class_names",
+        )
+        labels2 = datagen.labels_df(
+            spark,
+            category_ids=[8, 8, 8, 8, 8],
+            class_names=["Eight"] * 5,
+        )
+        state = pipeline.append_dataset(
+            spark, state, images, labels2, id_attribute="category_id",
+            name_attribute="class_names",
+        )
+        cats = sorted((r.id, r.name) for r in state.categories.collect())
+        assert cats == [(1, "One"), (2, "Two"), (5, "Five"), (8, "Eight")]
+
+
+class TestJsonRoundTrip:
+    def test_save_load_equality(self, spark, tmp_path, appended):
+        # reference tests/test_coco_manager.py:11-49
+        p = str(tmp_path / "coco.json")
+        appended.to_json_file(p)
+        loaded = CocoState.from_json_file(spark, p)
+        assert loaded.info == appended.info
+        for attr in ("images", "annotations", "categories", "sources"):
+            a = sorted(map(str, getattr(appended, attr).collect()))
+            b = sorted(map(str, getattr(loaded, attr).collect()))
+            assert a == b, attr
+        assert loaded.next_image_id() == appended.next_image_id()
+        assert loaded.next_annotation_id() == appended.next_annotation_id()
+        assert loaded.next_source_id() == appended.next_source_id()
+
+    def test_empty_roundtrip(self, spark, tmp_path):
+        state = CocoState.create(spark, version="0.0.0")
+        p = str(tmp_path / "empty.json")
+        state.to_json_file(p)
+        loaded = CocoState.from_json_file(spark, p)
+        assert loaded.info["version"] == "0.0.0"
+        assert loaded.images.count() == 0
+        assert loaded.next_image_id() == 1
+        assert loaded.next_source_id() == 0  # asymmetry (coco_models.py:28)
+
+
+class TestVersionBump:
+    def test_truth_table(self):
+        # reference tests/test_coco_models.py:161-178
+        v = "0.0.0"
+        v = bump_version(v, "minor")
+        assert v == "0.1.0"
+        v = bump_version(v, "patch")
+        assert v == "0.1.1"
+        v = bump_version(v, "major")
+        assert v == "1.0.0"
+        with pytest.raises(ValueError):
+            bump_version(v, "nope")
+
+
+class TestValidateLabels:
+    def test_bowtie_rejected(self, spark):
+        ring = np.array([[0, 0], [2, 0], [1, 1], [1, -1], [0, 0]], dtype=float)
+        bad = spark.createDataFrame(
+            [
+                (
+                    0,
+                    bytearray(wkb.encode_polygon([ring])),
+                    1,
+                    "One",
+                    None,
+                    datagen.CRS,
+                    0.0,
+                    -1.0,
+                    2.0,
+                    1.0,
+                    "Polygon",
+                )
+            ],
+            datagen.schemas.LABELS,
+        )
+        with pytest.raises(pipeline.SchemaValidationError, match="Invalid geometry"):
+            pipeline.validate_labels(bad)
+
+    def test_nonpositive_id_rejected(self, spark):
+        labels = datagen.labels_df(spark, category_ids=[0, 2, 2, 5, 5])
+        with pytest.raises(pipeline.SchemaValidationError, match="int > 0"):
+            pipeline.validate_labels(labels)
+
+    def test_missing_attrs_raise(self, spark):
+        labels = datagen.labels_df(spark)
+        with pytest.raises(AttributeError):
+            pipeline.validate_labels(labels, id_attribute="zzz", name_attribute=None)
+
+    def test_valid_passes(self, spark):
+        labels = datagen.labels_df(spark)
+        out = pipeline.validate_labels(labels, "category_id", "class_names")
+        assert out.count() == 5

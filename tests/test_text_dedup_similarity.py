@@ -1,0 +1,179 @@
+"""Tests for the training-data pipeline operators (text analysis, dedup,
+similarity search) on the driver's documents/embeddings tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geococo_spark.operators import dedup, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestText:
+    def test_token_stats(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a b b c")])
+        r = text.with_token_stats(df).first()
+        assert r.n_tokens == 4 and r.n_distinct_tokens == 3 and r.n_chars_m == 7
+
+    def test_quality_counts(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="the cat, and the dog.")])
+        r = text.with_quality(df).first()
+        assert r.n_punct == 2
+        assert r.n_stopwords == 3  # the, and, the
+        assert r.n_tokens == 5
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the cat and the dog in the house is it"),
+                Row(doc_id=2, text="zzz qqq www"),
+            ]
+        )
+        rows = {r.doc_id: r.lang_pred for r in text.with_lang_id(df).collect()}
+        assert rows == {1: "en", 2: "unk"}
+
+    def test_fingerprint_deterministic(self, spark, docs):
+        a = text.with_fingerprint(docs).select("doc_id", "fingerprint").collect()
+        b = text.with_fingerprint(docs).select("doc_id", "fingerprint").collect()
+        assert sorted(a) == sorted(b)
+        assert all(r.fingerprint >= 0 for r in a)
+
+    def test_runs_on_documents_table(self, docs):
+        out = text.with_lang_id(docs)
+        assert out.count() == docs.count()
+        assert out.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+class TestExactDedup:
+    def test_finds_planted_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(["x y z", "q", "x y z", "x y z", "r"])]
+        )
+        groups = dedup.exact_duplicates(df).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert g.n_dups == 3 and g.canonical_id == 0 and g.dup_ids == [0, 2, 3]
+
+
+class TestJaccard:
+    def test_identical_docs_jaccard_1(self, spark):
+        t = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame([Row(doc_id=1, text=t), Row(doc_id=2, text=t)])
+        rows = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+        assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+    def test_disjoint_docs_no_pair(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d e f"), Row(doc_id=2, text="q r s t u v")]
+        )
+        assert dedup.ngram_jaccard_pairs(df, threshold=0.01).count() == 0
+
+    def test_partial_overlap_value(self, spark):
+        # doc1: shingles {a b c, b c d}; doc2: {a b c, b c x}
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d"), Row(doc_id=2, text="a b c x")]
+        )
+        rows = dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()
+        assert len(rows) == 1
+        assert rows[0].jaccard == pytest.approx(1 / 3)
+
+
+class TestMinHashLSH:
+    def test_recall_vs_exact_jaccard(self, spark, docs):
+        sample = docs.limit(120).cache()
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(sample, "doc_id", "text", threshold=0.6).collect()
+        }
+        approx = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                sample, "doc_id", "text", threshold=0.6, num_perm=64, bands=16
+            ).collect()
+        }
+        # LSH verification step uses exact jaccard, so no false positives
+        assert approx <= exact
+        if exact:
+            assert len(approx) / len(exact) >= 0.8  # high recall at b=16,r=4
+
+    def test_planted_near_dups_found(self, spark):
+        base = "w0 " + " ".join(f"tok{i}" for i in range(50))
+        mut = "w0 " + " ".join(f"tok{i}" if i != 25 else "XXX" for i in range(50))
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=base), Row(doc_id=2, text=mut), Row(doc_id=3, text="a b c")]
+        )
+        rows = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+        assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+
+
+class TestSimHash:
+    def test_identical_distance_zero(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha beta gamma")]
+        )
+        rows = dedup.simhash_pairs(df, max_hamming=3).collect()
+        assert len(rows) == 1 and rows[0].hamming == 0
+
+    def test_different_docs_not_paired(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=" ".join(f"a{i}" for i in range(30))),
+                Row(doc_id=2, text=" ".join(f"b{i}" for i in range(30))),
+            ]
+        )
+        assert dedup.simhash_pairs(df, max_hamming=3).count() == 0
+
+
+class TestSimilarity:
+    def test_brute_force_topk_self_excluded(self, spark, embs):
+        probes = embs.limit(3).select(F.col("vec_id").alias("probe_id"), "embedding")
+        out = similarity.brute_force_topk(embs, probes, k=5).collect()
+        assert len(out) == 15
+        by_probe = {}
+        for r in out:
+            assert r.vec_id != r.probe_id
+            by_probe.setdefault(r.probe_id, []).append((r.rank, r.cos_sim))
+        for ranks in by_probe.values():
+            ranks.sort()
+            sims = [s for _, s in ranks]
+            assert sims == sorted(sims, reverse=True)
+            assert [r for r, _ in ranks] == [1, 2, 3, 4, 5]
+
+    def test_lsh_recall_vs_brute_force(self, spark, embs):
+        dim = len(embs.select("embedding").first()[0])
+        probes = embs.limit(5).select(F.col("vec_id").alias("probe_id"), "embedding")
+        exact = similarity.brute_force_topk(embs, probes, k=3).collect()
+        approx = similarity.lsh_topk(
+            embs, probes, dim=dim, k=3, n_planes=8, n_tables=8
+        ).collect()
+        exact_set = {(r.probe_id, r.vec_id) for r in exact}
+        approx_set = {(r.probe_id, r.vec_id) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.5  # approximate path; exact re-rank on candidates
+
+    def test_embedding_near_duplicates_planted(self, spark):
+        rng = np.random.RandomState(3)
+        v = rng.randn(16).astype(float)
+        v2 = v + rng.randn(16) * 0.01
+        w = rng.randn(16).astype(float)
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[float(x) for x in v]),
+                Row(vec_id=2, embedding=[float(x) for x in v2]),
+                Row(vec_id=3, embedding=[float(x) for x in w]),
+            ]
+        )
+        rows = similarity.embedding_near_duplicates(df, dim=16, threshold=0.95).collect()
+        assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
