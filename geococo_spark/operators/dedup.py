@@ -244,14 +244,16 @@ def simhash_pairs(
     width = 64 // nb
     sh = df.select(F.col(id_col).alias("doc"), simhash_udf()(F.col(text_col)).alias("simhash"))
     bands_col = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(nb - 1)),
-            lambda i: F.struct(
-                i.alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                ).alias("key"),
-            ),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for i in range(nb)
+            ]
         )
     ).alias("bb")
     banded = sh.select("doc", "simhash", bands_col).select(
