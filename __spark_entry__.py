@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial-join + tiling pipeline on
+sf0.001. ``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one (geometry-kernel
+and LSH ops are rows-only by design — the pytest suite covers their
+semantics).
+
+Spatial inputs are synthesized *deterministically from the tables*
+(points/boxes derived from c_custkey with integer arithmetic) so both
+engines compute identical values. All doubles are rounded identically on
+both sides; everything else is integer/string exact.
 """
 
 from __future__ import annotations
@@ -12,27 +18,711 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF1 = "/root/testdata/sf0.001"
+
+# synthesized label geometry: deterministic ints from c_custkey
+_PX = "(c_custkey * 7919) % 990 + 5"
+_PY = "-((c_custkey * 104729) % 990) - 5"
+_S = "c_custkey % 5 + 1"
+
+CELL_STRIDE = 2097152  # geococo_spark.operators.cells.CELL_STRIDE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _labels_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label bboxes synthesized from customer keys (pure int arithmetic)."""
+    return _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS label_id",
+        f"CAST({_PX} - ({_S}) AS DOUBLE) AS label_minx",
+        f"CAST({_PY} - ({_S}) AS DOUBLE) AS label_miny",
+        f"CAST({_PX} + ({_S}) AS DOUBLE) AS label_maxx",
+        f"CAST({_PY} + ({_S}) AS DOUBLE) AS label_maxy",
+    )
+
+
+_LABELS_SQL = f"""
+SELECT c_custkey AS label_id,
+       CAST({_PX} - ({_S}) AS DOUBLE) AS label_minx,
+       CAST({_PY} - ({_S}) AS DOUBLE) AS label_miny,
+       CAST({_PX} + ({_S}) AS DOUBLE) AS label_maxx,
+       CAST({_PY} + ({_S}) AS DOUBLE) AS label_maxy
+FROM customer
+"""
+
+
+def _tiles_grid(spark: SparkSession) -> DataFrame:
+    """10x10 grid of 100-unit tiles over (0,-1000,1000,0) — T1/T2 output
+    shape as a relational table."""
+    return spark.range(100).selectExpr(
+        "id AS tile_id",
+        "CAST(id DIV 10 AS BIGINT) AS ti",
+        "CAST(id % 10 AS BIGINT) AS tj",
+        "CAST((id DIV 10) * 100 AS DOUBLE) AS tile_minx",
+        "CAST(-(id % 10 + 1) * 100 AS DOUBLE) AS tile_miny",
+        "CAST((id DIV 10 + 1) * 100 AS DOUBLE) AS tile_maxx",
+        "CAST(-(id % 10) * 100 AS DOUBLE) AS tile_maxy",
+    )
+
+
+_TILES_SQL = """
+SELECT u AS tile_id,
+       CAST(u // 10 AS BIGINT) AS ti,
+       CAST(u % 10 AS BIGINT) AS tj,
+       CAST((u // 10) * 100 AS DOUBLE) AS tile_minx,
+       CAST(-((u % 10) + 1) * 100 AS DOUBLE) AS tile_miny,
+       CAST(((u // 10) + 1) * 100 AS DOUBLE) AS tile_maxx,
+       CAST(-(u % 10) * 100 AS DOUBLE) AS tile_maxy
+FROM (SELECT unnest(generate_series(0, 99)) AS u)
+"""
+
+
+def _bbox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 skeleton: cell-cover equi-join + bbox residual + dedupe."""
+    from geococo_spark.operators import spatial_join
+
+    return spatial_join.spatial_join(
+        _tiles_grid(spark),
+        _labels_boxes(spark, sf_dir),
+        cell_size=100.0,
+        label_id="label_id",
+        exact=False,
+        geometry="label_id",  # unused in bbox-only mode
+    )
+
+
+_PAIRS_SQL = f"""
+WITH tiles AS ({_TILES_SQL}), labels AS ({_LABELS_SQL})
+SELECT t.tile_id, l.label_id, t.ti, t.tj,
+       t.tile_minx, t.tile_miny, t.tile_maxx, t.tile_maxy,
+       l.label_minx, l.label_miny, l.label_maxx, l.label_maxy
+FROM tiles t JOIN labels l
+  ON t.tile_minx <= l.label_maxx AND t.tile_maxx >= l.label_minx
+ AND t.tile_miny <= l.label_maxy AND t.tile_maxy >= l.label_miny
+"""
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full GeoCOCO-equivalent pipeline on sf0.001 — labels
+    synthesized from the customer table, placed on a synthetic 256x256
+    raster; returns the COCO annotations table (SURVEY.md §7.3)."""
+    import numpy as np
+
+    from geococo_spark import pipeline, schemas
+    from geococo_spark.coco import CocoState
+    from geococo_spark.geometry import wkb
+    from geococo_spark.sources import datagen
+
+    cust = _t(spark, SF1, "customer").selectExpr(
+        "c_custkey",
+        "(c_custkey * 7919) % 246 + 5 AS px",
+        "(c_custkey * 104729) % 246 + 5 AS py",
+        "c_custkey % 4 + 1 AS s",
+        "CAST(c_custkey % 8 + 1 AS INT) AS category_id",
+    ).collect()
+    rows = []
+    for i, r in enumerate(cust):
+        cx, cy, s = float(r["px"]), -float(r["py"]), float(r["s"])
+        ring = wkb.buffer_point(cx, cy, s)
+        rows.append(
+            (
+                i,
+                bytearray(wkb.encode_polygon([ring])),
+                int(r["category_id"]),
+                f"cat_{r['category_id']}",
+                None,
+                datagen.CRS,
+                cx - s,
+                cy - s,
+                cx + s,
+                cy + s,
+                "Polygon",
+            )
+        )
+    labels = spark.createDataFrame(rows, schemas.LABELS)
+    images = datagen.images_df(spark, 1)
+    state = CocoState.create(spark, description="flagship", contributor="entry")
+    state = pipeline.append_dataset(
+        spark,
+        state,
+        images,
+        labels,
+        images_dir="images",
+        window_bounds=[(100, 100), (256, 256)],
+        id_attribute="category_id",
+        name_attribute="class_names",
+    )
+    return state.annotations.join(
+        state.categories.withColumnRenamed("id", "category_id"), "category_id"
+    ).select(
+        "id", "image_id", "category_id", "name", "area", "bbox", "iscrowd"
+    ).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from geococo_spark.operators import cells, dedup, grid, ids
+    from geococo_spark.operators import similarity as sim
+    from geococo_spark.operators import text
+    from geococo_spark.operators.grid import WindowSchemaSpec
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_window_grid(spark, sf_dir):
+        # T1/T2: adaptive grid per nation-derived parent window
+        parents = _t(spark, sf_dir, "nation").selectExpr(
+            "n_nationkey",
+            "CAST(n_nationkey AS BIGINT) AS parent_col_off",
+            "CAST(n_nationkey AS BIGINT) AS parent_row_off",
+            "CAST(50 + n_nationkey * 3 AS BIGINT) AS parent_width",
+            "CAST(60 + n_nationkey * 2 AS BIGINT) AS parent_height",
+        )
+        g = grid.explode_window_grid(parents, WindowSchemaSpec(20, 20, 4, 4))
+        return g.select("n_nationkey", "col_off", "row_off", "width", "height")
+
+    def q_window_bounds(spark, sf_dir):
+        # T3: world bounds of tile windows on the identity north-up grid
+        parents = _t(spark, sf_dir, "nation").selectExpr(
+            "n_nationkey",
+            "CAST(n_nationkey AS BIGINT) AS parent_col_off",
+            "CAST(n_nationkey AS BIGINT) AS parent_row_off",
+            "CAST(50 + n_nationkey * 3 AS BIGINT) AS parent_width",
+            "CAST(60 + n_nationkey * 2 AS BIGINT) AS parent_height",
+        ).selectExpr(
+            "*",
+            "CAST(1.0 AS DOUBLE) AS t_a",
+            "CAST(0.0 AS DOUBLE) AS t_c",
+            "CAST(-1.0 AS DOUBLE) AS t_e",
+            "CAST(0.0 AS DOUBLE) AS t_f",
+        )
+        g = grid.explode_window_grid(parents, WindowSchemaSpec(20, 20, 4, 4))
+        return grid.with_window_bounds(g, flat=True).select(
+            "n_nationkey", "col_off", "row_off",
+            "tile_minx", "tile_miny", "tile_maxx", "tile_maxy",
+        )
+
+    def q_window_intersect(spark, sf_dir):
+        # A2+A3: label extent ∩ raster extent in pixel space
+        lb = _labels_boxes(spark, sf_dir)
+        return lb.agg(
+            F.greatest(F.lit(0.0), F.min("label_minx")).alias("col_off"),
+            F.greatest(F.lit(0.0), -F.max("label_maxy")).alias("row_off"),
+            (
+                F.least(F.lit(1000.0), F.max("label_maxx"))
+                - F.greatest(F.lit(0.0), F.min("label_minx"))
+            ).alias("width"),
+            (
+                F.least(F.lit(1000.0), -F.min("label_miny"))
+                - F.greatest(F.lit(0.0), -F.max("label_maxy"))
+            ).alias("height"),
+        )
+
+    def q_estimate_overlap(spark, sf_dir):
+        # A1+T4: exact percentile of label extents -> overlap scalar
+        lb = _labels_boxes(spark, sf_dir)
+        return lb.agg(
+            F.round(F.expr("percentile(label_maxx - label_minx, 0.9)"), 6).alias("avg_width"),
+            F.ceil(F.expr("percentile(label_maxx - label_minx, 0.9)")).cast("long").alias(
+                "width_overlap"
+            ),
+        )
+
+    def q_cell_cover(spark, sf_dir):
+        # R10: grid-cell cover of every label bbox (pure built-ins)
+        lb = _labels_boxes(spark, sf_dir)
+        return cells.with_cell_cover(
+            lb, 100.0, "label_minx", "label_miny", "label_maxx", "label_maxy"
+        ).select("label_id", "cell")
+
+    def q_spatial_join_bbox(spark, sf_dir):
+        # J1 relational skeleton: cell equi-join + bbox residual + dedupe
+        return _bbox_pairs(spark, sf_dir).select("tile_id", "label_id")
+
+    def q_cell_join_count(spark, sf_dir):
+        # A8-style grouped existence/count per tile
+        return (
+            _bbox_pairs(spark, sf_dir)
+            .groupBy("tile_id")
+            .agg(F.count(F.lit(1)).alias("n_labels"))
+        )
+
+    def q_category_antijoin(spark, sf_dir):
+        # J3: incoming brands not in the existing dimension
+        part = _t(spark, sf_dir, "part")
+        existing = part.filter("p_partkey < 30").select("p_brand").distinct()
+        incoming = part.select("p_brand").distinct()
+        return incoming.join(existing, "p_brand", "left_anti").select(
+            F.col("p_brand").alias("name")
+        )
+
+    def q_category_autoids(spark, sf_dir):
+        # W4: auto ids = max matched existing id + row_number over name
+        part = _t(spark, sf_dir, "part")
+        existing = (
+            part.filter("p_partkey < 30")
+            .select("p_brand")
+            .distinct()
+            .withColumn("id", F.row_number().over(Window.orderBy("p_brand")))
+        )
+        incoming = part.select("p_brand").distinct()
+        fresh = incoming.join(existing.select("p_brand"), "p_brand", "left_anti")
+        matched_max = (
+            existing.join(incoming, "p_brand", "left_semi").agg(F.max("id")).first()[0] or 0
+        )
+        return fresh.withColumn(
+            "id",
+            (F.row_number().over(Window.orderBy("p_brand")) + F.lit(matched_max)).cast("long"),
+        ).select("id", F.col("p_brand").alias("name"))
+
+    def q_update_labels(spark, sf_dir):
+        # J2: broadcast dim join (id -> name, supercategory)
+        labels = _t(spark, sf_dir, "customer").selectExpr(
+            "c_custkey AS label_id", "CAST(c_custkey % 8 + 1 AS INT) AS category_id"
+        )
+        dim = spark.range(1, 9).selectExpr(
+            "CAST(id AS INT) AS id", "concat('cat_', id) AS name", "'1' AS supercategory"
+        )
+        return labels.join(F.broadcast(dim), labels.category_id == dim.id, "inner").select(
+            "label_id", "id", "name", "supercategory"
+        )
+
+    def q_sequential_ids(spark, sf_dir):
+        # W1: dense image ids over matched tiles in window order
+        matched = (
+            _bbox_pairs(spark, sf_dir).select("tile_id", "ti", "tj").distinct()
+        )
+        return ids.assign_sequential_ids(matched, ["ti", "tj"], "image_seq").select(
+            "tile_id", "image_seq"
+        )
+
+    def q_annotation_ids(spark, sf_dir):
+        # W2: dense annotation ids over (window order, category, label)
+        pairs = _bbox_pairs(spark, sf_dir).withColumn(
+            "category_id", (F.col("label_id") % 8 + 1).cast("int")
+        )
+        return ids.assign_sequential_ids(
+            pairs, ["ti", "tj", "category_id", "label_id"], "ann_id"
+        ).select("ann_id", "tile_id", "label_id", "category_id")
+
+    def q_append_union(spark, sf_dir):
+        # O3+A7: append new rows with ids continuing from existing count
+        cust = _t(spark, sf_dir, "customer")
+        existing = cust.filter("c_custkey % 2 = 0").select(
+            F.col("c_custkey").alias("key")
+        ).withColumn("id", F.row_number().over(Window.orderBy("key")).cast("long"))
+        n_existing = existing.count()
+        fresh = (
+            cust.select(F.col("c_custkey").alias("key"))
+            .join(existing.select("key"), "key", "left_anti")
+            .withColumn(
+                "id",
+                (F.row_number().over(Window.orderBy("key")) + F.lit(n_existing)).cast("long"),
+            )
+        )
+        return existing.unionByName(fresh).select("id", "key")
+
+    def q_tile_filename(spark, sf_dir):
+        # X2: reference tile filename templating
+        matched = _bbox_pairs(spark, sf_dir).select("tile_id", "ti", "tj").distinct()
+        return matched.select(
+            "tile_id",
+            F.concat_ws(
+                "_",
+                F.lit(1),
+                (F.col("ti") * 100).cast("long"),
+                (F.col("tj") * 100).cast("long"),
+                F.lit(100),
+                F.lit(100),
+            ).alias("stem"),
+        ).select("tile_id", F.concat(F.col("stem"), F.lit(".jpg")).alias("file_name"))
+
+    def q_date_fallback(spark, sf_dir):
+        # X1: datetime parse with fallback chain
+        tagged = _t(spark, sf_dir, "customer").selectExpr(
+            "c_custkey",
+            "CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN '2021-03-04 05:06:07' "
+            "WHEN 1 THEN '2021/03/04' ELSE 'zzz' END AS tag",
+        )
+        return tagged.select(
+            "c_custkey",
+            F.coalesce(
+                F.try_to_timestamp(F.col("tag"), F.lit("yyyy-MM-dd HH:mm:ss")),
+                F.try_to_timestamp(F.col("tag"), F.lit("yyyy/MM/dd")),
+                F.lit("1970-01-01 00:00:00").cast("timestamp"),
+            ).alias("date_created"),
+        )
+
+    def q_events_window(spark, sf_dir):
+        # tumbling event-time window aggregation (batch form)
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.groupBy(
+                F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            )
+        )
+
+    def q_text_stats(spark, sf_dir):
+        return text.with_token_stats(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens"
+        )
+
+    def q_text_quality(spark, sf_dir):
+        return text.with_quality(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_punct", "n_stopwords", "punct_ratio", "stopword_ratio",
+            "mean_token_len",
+        )
+
+    def q_lang_id(spark, sf_dir):
+        return text.with_lang_id(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "lang_pred"
+        )
+
+    def q_fingerprint(spark, sf_dir):
+        return text.with_fingerprint(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "fingerprint"
+        )
+
+    def q_exact_dedup(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return (
+            docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        )
+
+    def q_ngram_jaccard(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+
+    def q_ann_topk(spark, sf_dir):
+        embs = _t(spark, sf_dir, "embeddings").filter("vec_id < 300")
+        probes = embs.filter("vec_id < 3").select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return sim.brute_force_topk(embs, probes, k=5)
+
+    # ---- rows-only checks (geometry kernels / LSH — not SQL-expressible)
+    def q_spatial_join_exact(spark, sf_dir):
+        from geococo_spark.operators import spatial_join
+        from geococo_spark.sources import datagen
+
+        labels = datagen.random_labels_df(spark, 300, extent=900.0, seed=4)
+        return spatial_join.spatial_join(
+            _tiles_grid(spark), labels, cell_size=100.0, label_id="label_idx"
+        ).select("tile_id", "label_idx")
+
+    def q_knn_fallback(spark, sf_dir):
+        from geococo_spark.operators import knn
+        from geococo_spark.sources import datagen
+
+        labels = datagen.random_labels_df(spark, 100, extent=900.0, seed=5).withColumnRenamed(
+            "label_idx", "label_id"
+        )
+        return knn.knn_assign(labels, _tiles_grid(spark), cell_size=100.0, k=1, rings=2).select(
+            "label_id", "tile_id", F.round("knn_distance", 6).alias("knn_distance")
+        )
+
+    def q_minhash_lsh(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+    def q_simhash(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+    def q_embedding_neardup(spark, sf_dir):
+        embs = _t(spark, sf_dir, "embeddings")
+        dim = len(embs.select("embedding").first()[0])
+        return sim.embedding_near_duplicates(embs, dim=dim, threshold=0.42, n_planes=6, n_tables=10)
+
+    def q_coco_pipeline(spark, sf_dir):
+        return entry(spark)
+
+    return {
+        "q_window_grid": q_window_grid,
+        "q_window_bounds": q_window_bounds,
+        "q_window_intersect": q_window_intersect,
+        "q_estimate_overlap": q_estimate_overlap,
+        "q_cell_cover": q_cell_cover,
+        "q_spatial_join_bbox": q_spatial_join_bbox,
+        "q_cell_join_count": q_cell_join_count,
+        "q_category_antijoin": q_category_antijoin,
+        "q_category_autoids": q_category_autoids,
+        "q_update_labels": q_update_labels,
+        "q_sequential_ids": q_sequential_ids,
+        "q_annotation_ids": q_annotation_ids,
+        "q_append_union": q_append_union,
+        "q_tile_filename": q_tile_filename,
+        "q_date_fallback": q_date_fallback,
+        "q_events_window": q_events_window,
+        "q_text_stats": q_text_stats,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ann_topk": q_ann_topk,
+        "q_spatial_join_exact": q_spatial_join_exact,
+        "q_knn_fallback": q_knn_fallback,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash": q_simhash,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_coco_pipeline": q_coco_pipeline,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    grid_sql = """
+WITH parents AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey AS BIGINT) AS pco, CAST(n_nationkey AS BIGINT) AS pro,
+         CAST(50 + n_nationkey * 3 AS BIGINT) AS pw,
+         CAST(60 + n_nationkey * 2 AS BIGINT) AS ph
+  FROM nation)
+SELECT n_nationkey, c AS col_off, r AS row_off,
+       CAST(20 AS BIGINT) AS width, CAST(20 AS BIGINT) AS height
+FROM parents
+CROSS JOIN unnest(generate_series(greatest(0, pco - 4), pw + pco - 4 - 1, 12)) AS tc(c)
+CROSS JOIN unnest(generate_series(greatest(0, pro - 4), ph + pro - 4 - 1, 12)) AS tr(r)
+"""
+    return {
+        "q_window_grid": grid_sql,
+        "q_window_bounds": """
+WITH parents AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey AS BIGINT) AS pco, CAST(n_nationkey AS BIGINT) AS pro,
+         CAST(50 + n_nationkey * 3 AS BIGINT) AS pw,
+         CAST(60 + n_nationkey * 2 AS BIGINT) AS ph
+  FROM nation),
+g AS (
+  SELECT n_nationkey, c AS col_off, r AS row_off
+  FROM parents
+  CROSS JOIN unnest(generate_series(greatest(0, pco - 4), pw + pco - 4 - 1, 12)) AS tc(c)
+  CROSS JOIN unnest(generate_series(greatest(0, pro - 4), ph + pro - 4 - 1, 12)) AS tr(r))
+SELECT n_nationkey, col_off, row_off,
+       CAST(col_off AS DOUBLE) AS tile_minx,
+       CAST(-(row_off + 20) AS DOUBLE) AS tile_miny,
+       CAST(col_off + 20 AS DOUBLE) AS tile_maxx,
+       CAST(-row_off AS DOUBLE) AS tile_maxy
+FROM g
+""",
+        "q_window_intersect": f"""
+WITH labels AS ({_LABELS_SQL})
+SELECT greatest(0.0, min(label_minx)) AS col_off,
+       greatest(0.0, -max(label_maxy)) AS row_off,
+       least(1000.0, max(label_maxx)) - greatest(0.0, min(label_minx)) AS width,
+       least(1000.0, -min(label_miny)) - greatest(0.0, -max(label_maxy)) AS height
+FROM labels
+""",
+        "q_estimate_overlap": f"""
+WITH labels AS ({_LABELS_SQL})
+SELECT round(CAST(quantile_cont(label_maxx - label_minx, 0.9) AS DOUBLE), 6) AS avg_width,
+       CAST(ceil(quantile_cont(label_maxx - label_minx, 0.9)) AS BIGINT) AS width_overlap
+FROM labels
+""",
+        "q_cell_cover": f"""
+WITH labels AS ({_LABELS_SQL})
+SELECT label_id, (cx * {CELL_STRIDE} + cy) AS cell
+FROM labels
+CROSS JOIN unnest(generate_series(CAST(floor(label_minx / 100.0) AS BIGINT),
+                                  CAST(floor(label_maxx / 100.0) AS BIGINT))) AS tx(cx)
+CROSS JOIN unnest(generate_series(CAST(floor(label_miny / 100.0) AS BIGINT),
+                                  CAST(floor(label_maxy / 100.0) AS BIGINT))) AS ty(cy)
+""",
+        "q_spatial_join_bbox": f"""
+WITH pairs AS ({_PAIRS_SQL})
+SELECT tile_id, label_id FROM pairs
+""",
+        "q_cell_join_count": f"""
+WITH pairs AS ({_PAIRS_SQL})
+SELECT tile_id, count(*) AS n_labels FROM pairs GROUP BY tile_id
+""",
+        "q_category_antijoin": """
+SELECT DISTINCT p_brand AS name FROM part
+WHERE p_brand NOT IN (SELECT DISTINCT p_brand FROM part WHERE p_partkey < 30)
+""",
+        "q_category_autoids": """
+WITH existing AS (
+  SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS id
+  FROM (SELECT DISTINCT p_brand FROM part WHERE p_partkey < 30)),
+incoming AS (SELECT DISTINCT p_brand FROM part),
+fresh AS (SELECT p_brand FROM incoming WHERE p_brand NOT IN (SELECT p_brand FROM existing)),
+mx AS (SELECT coalesce(max(id), 0) AS m FROM existing
+       WHERE p_brand IN (SELECT p_brand FROM incoming))
+SELECT CAST(row_number() OVER (ORDER BY p_brand) + (SELECT m FROM mx) AS BIGINT) AS id,
+       p_brand AS name
+FROM fresh
+""",
+        "q_update_labels": """
+WITH labels AS (SELECT c_custkey AS label_id, CAST(c_custkey % 8 + 1 AS INT) AS category_id
+                FROM customer),
+dim AS (SELECT CAST(u AS INT) AS id, 'cat_' || u AS name, '1' AS supercategory
+        FROM (SELECT unnest(generate_series(1, 8)) AS u))
+SELECT label_id, id, name, supercategory FROM labels JOIN dim ON labels.category_id = dim.id
+""",
+        "q_sequential_ids": f"""
+WITH pairs AS ({_PAIRS_SQL}),
+matched AS (SELECT DISTINCT tile_id, ti, tj FROM pairs)
+SELECT tile_id, CAST(row_number() OVER (ORDER BY ti, tj) AS BIGINT) AS image_seq FROM matched
+""",
+        "q_annotation_ids": f"""
+WITH pairs AS ({_PAIRS_SQL}),
+p2 AS (SELECT *, CAST(label_id % 8 + 1 AS INT) AS category_id FROM pairs)
+SELECT CAST(row_number() OVER (ORDER BY ti, tj, category_id, label_id) AS BIGINT) AS ann_id,
+       tile_id, label_id, category_id
+FROM p2
+""",
+        "q_append_union": """
+WITH existing AS (
+  SELECT c_custkey AS key, CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS id
+  FROM customer WHERE c_custkey % 2 = 0),
+fresh AS (
+  SELECT c_custkey AS key,
+         CAST(row_number() OVER (ORDER BY c_custkey) + (SELECT count(*) FROM existing) AS BIGINT) AS id
+  FROM customer WHERE c_custkey % 2 <> 0)
+SELECT id, key FROM existing UNION ALL SELECT id, key FROM fresh
+""",
+        "q_tile_filename": f"""
+WITH pairs AS ({_PAIRS_SQL}),
+matched AS (SELECT DISTINCT tile_id, ti, tj FROM pairs)
+SELECT tile_id,
+       concat_ws('_', '1', CAST(ti * 100 AS VARCHAR), CAST(tj * 100 AS VARCHAR),
+                 '100', '100') || '.jpg' AS file_name
+FROM matched
+""",
+        "q_date_fallback": """
+WITH tagged AS (
+  SELECT c_custkey,
+         CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN '2021-03-04 05:06:07'
+              WHEN 1 THEN '2021/03/04' ELSE 'zzz' END AS tag
+  FROM customer)
+SELECT c_custkey,
+       coalesce(try_strptime(tag, '%Y-%m-%d %H:%M:%S'),
+                try_strptime(tag, '%Y/%m/%d'),
+                TIMESTAMP '1970-01-01') AS date_created
+FROM tagged
+""",
+        "q_events_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+        "q_text_stats": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS n_distinct_tokens
+FROM documents
+""",
+        "q_text_quality": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST((length(text) - length(replace(text, '.', '')))
+            + (length(text) - length(replace(text, ',', '')))
+            + (length(text) - length(replace(text, '!', '')))
+            + (length(text) - length(replace(text, '?', '')))
+            + (length(text) - length(replace(text, ';', '')))
+            + (length(text) - length(replace(text, ':', ''))) AS BIGINT) AS n_punct,
+         CAST(
+           (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' in ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' it ', ''))) / 4
+         AS BIGINT) AS n_stopwords
+  FROM documents)
+SELECT doc_id, n_punct, n_stopwords,
+       round(n_punct / CAST(greatest(n_chars_m, 1) AS DOUBLE), 6) AS punct_ratio,
+       round(n_stopwords / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS stopword_ratio,
+       round(n_chars_m / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS mean_token_len
+FROM base
+""",
+        "q_lang_id": r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(
+           (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' in ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' it ', ''))) / 4
+         AS BIGINT) AS n_stopwords
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN n_stopwords * 20 >= n_tokens AND n_tokens > 0 THEN 'en' ELSE 'unk' END
+         AS lang_pred
+FROM base
+""",
+        "q_fingerprint": """
+SELECT doc_id,
+       CASE WHEN length(text) > 0 THEN
+         CAST(list_sum(list_transform(generate_series(1, greatest(least(length(text), 64), 1)),
+                                      i -> i * ord(substring(text, i, 1)))) % 2147483647
+              AS BIGINT)
+       ELSE 0 END AS fingerprint
+FROM documents
+""",
+        "q_exact_dedup": """
+SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)
+""",
+        "q_ngram_jaccard": r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+       round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) AS jaccard
+FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.2
+""",
+        "q_ann_topk": """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id < 300),
+n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nv FROM q),
+p AS (SELECT vec_id AS probe_id, qv AS qp, nv AS np_ FROM n WHERE vec_id < 3),
+scored AS (
+  SELECT p.probe_id, n.vec_id,
+         round(list_dot_product(n.qv, p.qp) / (sqrt(n.nv) * sqrt(p.np_)), 6) AS cos_sim
+  FROM n CROSS JOIN p WHERE n.vec_id <> p.probe_id),
+ranked AS (
+  SELECT probe_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC)
+              AS BIGINT) AS rank
+  FROM scored)
+SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+    }

@@ -1,0 +1,120 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line::
+
+    {"metric": "coco_pipeline_images_per_sec", "value": N, "unit":
+     "images/sec", "queries": {...per-query seconds...}, "sf": ...}
+
+The primary metric matches BASELINE.json: tile-assignment +
+COCO-annotation throughput (images/sec) of the flagship pipeline on a
+synthetic image+caption table (deterministic datagen, no external
+data). Relational/text/similarity headline queries are timed in
+seconds each. Scaling (local[8] vs local[32]) is measured separately by
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_spark(cpus: int):
+    from geococo_spark.session import get_spark
+
+    return get_spark(
+        app_name="geococo-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def bench_pipeline(spark, n_images: int) -> tuple[float, dict]:
+    """Flagship workload: n_images synthetic 256x256x3 rasters + 2000
+    random labels -> full append pipeline; returns (seconds, counters)."""
+    from geococo_spark import pipeline
+    from geococo_spark.coco import CocoState
+    from geococo_spark.sources import datagen
+
+    images = datagen.images_df(spark, n_images)
+    labels = datagen.random_labels_df(spark, 2000, extent=1000.0, seed=9)
+    state = CocoState.create(spark, description="bench", contributor="bench")
+    t0 = time.perf_counter()
+    state = pipeline.append_dataset(
+        spark,
+        state,
+        images,
+        labels,
+        images_dir="bench_images",
+        window_bounds=[(128, 128), (256, 256)],
+        id_attribute="category_id",
+        name_attribute="class_names",
+    )
+    n_tiles = state.images.count()
+    n_anns = state.annotations.count()
+    dt = time.perf_counter() - t0
+    return dt, {"tiles": n_tiles, "annotations": n_anns, "images": n_images}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "32"))
+    spark = _build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    headline = [
+        "q_spatial_join_bbox",
+        "q_cell_join_count",
+        "q_sequential_ids",
+        "q_annotation_ids",
+        "q_window_grid",
+        "q_text_quality",
+        "q_exact_dedup",
+        "q_minhash_lsh",
+        "q_ann_topk",
+        "q_events_window",
+    ]
+    queries = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        n = queries[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    pipe_s, counters = bench_pipeline(spark, n_images)
+    times["coco_pipeline"] = round(pipe_s, 3)
+    images_per_sec = counters["images"] / pipe_s
+    print(
+        f"# pipeline: {pipe_s:.2f}s for {counters['images']} images "
+        f"({counters['tiles']} tiles, {counters['annotations']} anns)",
+        file=sys.stderr,
+    )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "coco_pipeline_images_per_sec",
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "pipeline_counters": counters,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cos_sim", "rank")
     )
@@ -144,7 +144,7 @@ def lsh_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cos_sim", "rank")
     )
