@@ -208,6 +208,35 @@ class CocoState:
         self.info["version"] = bump_version(self.info["version"], "minor")
         return new_id
 
+    def register_sources(
+        self, file_names: list[str], date_captured: datetime | None
+    ) -> dict[str, int]:
+        """Batched add_source: one collect + one union for N sources,
+        preserving per-source bump order (patch for seen, minor for new —
+        geococo/coco_models.py:39-54). Returns file_name -> source id."""
+        existing = {
+            r["file_name"]: r["id"] for r in self.sources.select("file_name", "id").collect()
+        }
+        out: dict[str, int] = {}
+        new_rows = []
+        next_id = len(existing) + 1
+        for fn in file_names:
+            if fn in existing:
+                self.info["version"] = bump_version(self.info["version"], "patch")
+                out[fn] = int(existing[fn])
+            else:
+                self.info["version"] = bump_version(self.info["version"], "minor")
+                out[fn] = next_id
+                new_rows.append((next_id, fn, date_captured))
+                existing[fn] = next_id
+                next_id += 1
+        if new_rows:
+            spark = self.sources.sparkSession
+            self.sources = self.sources.unionByName(
+                spark.createDataFrame(new_rows, schemas.COCO_SOURCES)
+            )
+        return out
+
     def verify_used_dir(self, images_dir: str) -> None:
         """Major bump when images_dir unseen (coco_models.py:145-148)."""
         # dirs = the path prefix of each image file_name

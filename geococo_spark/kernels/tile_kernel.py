@@ -32,19 +32,29 @@ from geococo_spark.kernels import codec
 
 
 def run_tile_kernel(
-    image_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame, out_fmt: str = "jpeg"
+    image_pdf: pd.DataFrame,
+    pairs_pdf: pd.DataFrame,
+    out_fmt: str = "jpeg",
+    acc: dict | None = None,
 ) -> pd.DataFrame:
     """Kernel body for ONE source image group (cogrouped applyInPandas).
 
     :param image_pdf: exactly one row of the images table
     :param pairs_pdf: matched (tile, label) pairs for this image
+    :param acc: optional dict of Spark accumulators (EngineMetrics.acc)
     :return: KERNEL_OUT rows (tile rows + annotation rows)
     """
+
+    def bump(name: str, v: int) -> None:
+        if acc is not None and name in acc:
+            acc[name].add(int(v))
+
     out: list[dict] = []
     if len(image_pdf) == 0 or len(pairs_pdf) == 0:
         return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
     img = image_pdf.iloc[0]
     arr = codec.decode_image(bytes(img["bytes"]))
+    bump("bytes_decoded", len(img["bytes"]))
     t = img["transform"]
     a, c, e, f = float(t["a"]), float(t["c"]), float(t["e"]), float(t["f"])
     nodata = img["nodata"]
@@ -78,6 +88,7 @@ def run_tile_kernel(
         tile_w = int(window_image.shape[1])
         tile_h = int(window_image.shape[2])
 
+        bump("tiles_generated", 1)
         out.append(
             {
                 "row_type": "tile",
@@ -111,7 +122,9 @@ def run_tile_kernel(
             # R1: all_touched rasterize on the tile grid
             mask = rasterize.rasterize_all_touched(rings, tile_transform, (tile_h, tile_w))
             if not mask.any():  # F3
+                bump("masks_empty", 1)
                 continue
+            bump("annotations_emitted", 1)
             enc = rle.encode(mask)  # R5
             out.append(
                 {
@@ -144,10 +157,13 @@ def _kernel_fields():
     return KERNEL_OUT.fields
 
 
-def cogroup_kernel(out_fmt: str = "jpeg"):
-    """Factory for the applyInPandas function (cogrouped by image_id)."""
+def cogroup_kernel(out_fmt: str = "jpeg", acc: dict | None = None):
+    """Factory for the applyInPandas function (cogrouped by image_id).
+
+    ``acc`` (accumulator dict) serializes into the worker closure so the
+    kernel can report engine metrics (checkpoint.EngineMetrics)."""
 
     def _fn(image_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
-        return run_tile_kernel(image_pdf, pairs_pdf, out_fmt=out_fmt)
+        return run_tile_kernel(image_pdf, pairs_pdf, out_fmt=out_fmt, acc=acc)
 
     return _fn

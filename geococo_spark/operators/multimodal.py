@@ -1,0 +1,169 @@
+"""Multimodal binary-column operators (driver brief): treat image/audio/
+video as opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample as Arrow-batched kernels over
+``mapInPandas``.
+
+The Spark-side plumbing (schemas, batch shapes, partition-size control)
+is real and tested. The *codec arithmetic* runs on the engine's
+deterministic formats (kernels/codec.py); real cv2/PIL/ffmpeg codecs are
+gated behind try-imports there and raise a clearly-marked
+NotImplementedError when absent, per the driver's stub instruction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from geococo_spark.kernels import codec
+
+IMAGE_FEATURES = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bands", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("mean_px", DoubleType(), True),
+        StructField("std_px", DoubleType(), True),
+        StructField("phash", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """Decode + feature-extract per image (mean/std/phash) in one Arrow
+    pass; decode failures are captured per-row, never task-fatal."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    arr = codec.decode_image(bytes(raw))
+                    rows.append(
+                        {
+                            "image_id": str(iid),
+                            "bands": int(arr.shape[0]),
+                            "height": int(arr.shape[1]),
+                            "width": int(arr.shape[2]),
+                            "mean_px": round(float(arr.mean()), 6),
+                            "std_px": round(float(arr.std()), 6),
+                            "phash": codec.phash64(arr),
+                            "decode_error": None,
+                        }
+                    )
+                except Exception as exc:  # F6 analog: decode-failure row
+                    rows.append(
+                        {
+                            "image_id": str(iid),
+                            "bands": None, "height": None, "width": None,
+                            "mean_px": None, "std_px": None, "phash": None,
+                            "decode_error": f"{type(exc).__name__}: {exc}"[:200],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES.fields])
+
+    return df.select(id_col, bytes_col).mapInPandas(_extract, IMAGE_FEATURES)
+
+
+RESIZED = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_h: int, out_w: int, id_col: str = "image_id", bytes_col: str = "bytes",
+    fmt: str = "raw",
+) -> DataFrame:
+    """Nearest-neighbor resize (pure numpy index sampling — deterministic)
+    re-encoded to ``fmt``. Real interpolation would drop into the same
+    kernel via cv2 when available."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    arr = codec.decode_image(bytes(raw))
+                    b, h, w = arr.shape
+                    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                    small = arr[:, ys[:, None], xs[None, :]]
+                    rows.append(
+                        {
+                            "image_id": str(iid),
+                            "bytes": codec.encode_image(np.ascontiguousarray(small), fmt),
+                            "height": out_h,
+                            "width": out_w,
+                        }
+                    )
+                except Exception:
+                    rows.append({"image_id": str(iid), "bytes": None, "height": None, "width": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return df.select(id_col, bytes_col).mapInPandas(_resize, RESIZED)
+
+
+FRAMES = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 10, id_col: str = "media_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Frame sampling for video-shaped binaries.
+
+    STUB decode: a real container demuxer (ffmpeg) is unavailable here —
+    the engine treats the binary as a stack of engine-format frames
+    (bands = frames for the fake container). The mapInPandas plumbing
+    (explode one row -> many frame rows, batch-bounded memory) is the
+    real, tested part.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    arr = codec.decode_image(bytes(raw))  # (frames, h, w)
+                except NotImplementedError:
+                    raise NotImplementedError(
+                        "STUB: real video demux requires ffmpeg (absent); "
+                        "engine-format containers only"
+                    )
+                for k in range(0, arr.shape[0], every_n):
+                    rows.append(
+                        {
+                            "media_id": str(mid),
+                            "frame_idx": int(k),
+                            "frame_bytes": codec.encode_image(arr[k : k + 1], "raw"),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
+
+    return df.select(id_col, bytes_col).mapInPandas(_sample, FRAMES)

@@ -26,8 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
+from pyspark.storagelevel import StorageLevel
 
 from geococo_spark import schemas
+from geococo_spark.checkpoint import EngineMetrics, StageCheckpoint
 from geococo_spark.coco import CocoState
 from geococo_spark.geometry import predicates, wkb
 from geococo_spark.kernels.tile_kernel import cogroup_kernel
@@ -123,6 +125,7 @@ def append_dataset(
     date_captured: datetime | None = None,
     checkpoint_dir: str | None = None,
     broadcast_rows: int = 1_000_000,
+    metrics: "EngineMetrics | None" = None,
 ) -> CocoState:
     """Run the full annotate pipeline and return the appended state.
 
@@ -198,9 +201,9 @@ def append_dataset(
     if overlapping.limit(1).count() == 0:
         raise ValueError("Extent of input raster and vector don't overlap")
 
-    # ⑨ sources + version bumps (J4/X3) — tiny, driver-side
+    # ⑨ sources + version bumps (J4/X3) — tiny, driver-side, one batch
     img_ids = [r["image_id"] for r in images.select("image_id").orderBy("image_id").collect()]
-    source_map = {iid: state.register_source(iid, date_captured) for iid in img_ids}
+    source_map = state.register_sources(img_ids, date_captured)
     state.verify_used_dir(images_dir)
     src_df = F.broadcast(
         spark.createDataFrame(
@@ -252,22 +255,48 @@ def append_dataset(
 
     # ⑬-㉑ fused kernel over cogrouped (image, its pairs). The pairs plan
     # re-reads the images subtree (grid side), so its lineage is truncated
-    # here — metadata-only rows, cheap to materialize — which both avoids
+    # first — metadata-only rows, cheap to materialize — which both avoids
     # re-running the join per downstream action and sidesteps Catalyst
-    # self-join attribute collisions on the struct extraction.
-    pairs_small = pairs.select(
-        F.col("tile_image_id").alias("image_id"),
-        "col_off", "row_off", "width", "height",
-        "label_idx", "geometry", "id",
-    ).localCheckpoint()
+    # self-join attribute collisions on the struct extraction. With a
+    # checkpoint_dir the truncation doubles as a resumable stage with a
+    # per-partition lineage manifest (north_rule).
+    def _pairs_small():
+        return pairs.select(
+            F.col("tile_image_id").alias("image_id"),
+            "col_off", "row_off", "width", "height",
+            "label_idx", "geometry", "id",
+        )
+
+    ckpt = StageCheckpoint(spark, checkpoint_dir) if checkpoint_dir is not None else None
+    if ckpt is not None:
+        fingerprint = "|".join(
+            str(x)
+            for x in (
+                n_labels,
+                len(img_ids),
+                img_ids[0] if img_ids else "",
+                img_ids[-1] if img_ids else "",
+                schema.width_window, schema.height_window,
+                schema.width_overlap, schema.height_overlap,
+                quantile, images_dir, out_fmt,
+            )
+        )
+        pairs_small = ckpt.run("pairs", fingerprint, _pairs_small, metrics)
+    else:
+        pairs_small = _pairs_small().localCheckpoint()
+
+    acc = metrics.acc if metrics is not None else None
     kout = (
         images.groupBy("image_id")
         .cogroup(pairs_small.groupBy("image_id"))
-        .applyInPandas(cogroup_kernel(out_fmt), schemas.KERNEL_OUT)
+        .applyInPandas(cogroup_kernel(out_fmt, acc), schemas.KERNEL_OUT)
     )
-    if checkpoint_dir is not None:
-        kout.write.mode("overwrite").parquet(f"{checkpoint_dir}/kernel_out")
-        kout = spark.read.parquet(f"{checkpoint_dir}/kernel_out")
+    if ckpt is not None:
+        kout = ckpt.run("kernel_out", fingerprint, lambda: kout, metrics)
+    else:
+        # several downstream actions (id counts, images, annotations) must
+        # not re-run the expensive kernel — pin its output
+        kout = kout.persist(StorageLevel.MEMORY_AND_DISK)
 
     kout = kout.join(src_df, "image_key")
 

@@ -1,0 +1,79 @@
+"""spark-submit entry point (north_rule launch mode).
+
+Usage::
+
+    spark-submit --py-files geococo_spark.zip jobs/annotate.py \
+        --images <parquet path or 'synthetic:N'> \
+        --labels <parquet path or 'synthetic:N'> \
+        --output <dir> [--checkpoint <dir>] [--images-dir images]
+        [--window 256x256]
+
+Reads an image+caption table (schemas.IMAGES) and a labels table
+(schemas.LABELS), runs the full append pipeline, writes the four COCO
+tables as parquet, and prints the engine metric accumulators.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--labels", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--images-dir", default="images")
+    ap.add_argument("--window", default="256x256")
+    ap.add_argument("--id-attribute", default="category_id")
+    ap.add_argument("--name-attribute", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from geococo_spark import pipeline
+    from geococo_spark.checkpoint import EngineMetrics
+    from geococo_spark.coco import CocoState
+    from geococo_spark.sources import datagen
+
+    spark = SparkSession.builder.appName("geococo-annotate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.images.startswith("synthetic:"):
+        images = datagen.images_df(spark, int(args.images.split(":")[1]))
+    else:
+        images = spark.read.parquet(args.images)
+    if args.labels.startswith("synthetic:"):
+        labels = datagen.random_labels_df(spark, int(args.labels.split(":")[1]))
+    else:
+        labels = spark.read.parquet(args.labels)
+
+    w, h = (int(x) for x in args.window.split("x"))
+    state = CocoState.create(spark, description="annotate job")
+    metrics = EngineMetrics(spark)
+    state = pipeline.append_dataset(
+        spark,
+        state,
+        images,
+        labels,
+        images_dir=args.images_dir,
+        window_bounds=[(w, h), (2 * w, 2 * h)],
+        id_attribute=args.id_attribute,
+        name_attribute=args.name_attribute,
+        checkpoint_dir=args.checkpoint,
+        metrics=metrics,
+    )
+    state.images.write.mode("overwrite").parquet(f"{args.output}/coco_images")
+    state.annotations.write.mode("overwrite").parquet(f"{args.output}/coco_annotations")
+    state.categories.write.mode("overwrite").parquet(f"{args.output}/coco_categories")
+    state.sources.write.mode("overwrite").parquet(f"{args.output}/coco_sources")
+    if state.tiles is not None:
+        state.tiles.write.mode("overwrite").parquet(f"{args.output}/tiles")
+    print(json.dumps({"metrics": metrics.snapshot(), "version": state.info["version"]}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

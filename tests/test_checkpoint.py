@@ -1,0 +1,88 @@
+"""Checkpoint-resume tests (north_rule): a resumed run skips completed
+stages (fingerprint hit) and produces byte-identical outputs; a changed
+input fingerprint recomputes."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geococo_spark import pipeline
+from geococo_spark.checkpoint import EngineMetrics, StageCheckpoint
+from geococo_spark.coco import CocoState
+from geococo_spark.sources import datagen
+
+
+class TestStageCheckpoint:
+    def test_run_and_resume(self, spark, tmp_path):
+        ckpt = StageCheckpoint(spark, str(tmp_path / "ck"))
+        calls = []
+
+        def factory():
+            calls.append(1)
+            return spark.range(10).withColumn("x", F.col("id") * 2)
+
+        out1 = ckpt.run("s1", "fp-a", factory)
+        assert out1.count() == 10 and calls == [1]
+        out2 = ckpt.run("s1", "fp-a", factory)
+        assert calls == [1]  # resumed, factory not called
+        assert sorted(r.x for r in out2.collect()) == sorted(r.x for r in out1.collect())
+        # new fingerprint -> recompute
+        ckpt.run("s1", "fp-b", factory)
+        assert calls == [1, 1]
+
+    def test_manifest_lineage(self, spark, tmp_path):
+        ckpt = StageCheckpoint(spark, str(tmp_path / "ck"))
+        ckpt.run("s1", "fp", lambda: spark.range(100).repartition(4))
+        m = ckpt.manifest("s1")
+        assert m["status"] == "COMPLETE" and m["fingerprint"] == "fp"
+        assert m["rows"] == 100
+        assert sum(p["rows"] for p in m["partitions"]) == 100
+        assert len(m["partitions"]) >= 1
+
+
+class TestPipelineResume:
+    def test_resume_skips_kernel_and_is_identical(self, spark, tmp_path):
+        images = datagen.images_df(spark, 1)
+        labels = datagen.labels_df(spark)
+        ckdir = str(tmp_path / "stage_ck")
+
+        def run():
+            state = CocoState.create(spark)
+            m = EngineMetrics(spark)
+            out = pipeline.append_dataset(
+                spark, state, images, labels, images_dir="d",
+                id_attribute="category_id", name_attribute="class_names",
+                checkpoint_dir=ckdir, metrics=m,
+            )
+            return out, m
+
+        out1, m1 = run()
+        anns1 = sorted(map(str, out1.annotations.collect()))
+        assert m1.snapshot()["annotations_emitted"] == 5
+        assert m1.snapshot()["tiles_generated"] == 1
+        assert m1.snapshot()["bytes_decoded"] > 0
+        mtime1 = os.path.getmtime(os.path.join(ckdir, "kernel_out", "manifest.json"))
+
+        out2, m2 = run()
+        anns2 = sorted(map(str, out2.annotations.collect()))
+        assert anns1 == anns2
+        # stage skipped: manifest untouched, kernel accumulators silent
+        assert os.path.getmtime(os.path.join(ckdir, "kernel_out", "manifest.json")) == mtime1
+        assert m2.snapshot()["annotations_emitted"] == 0
+
+    def test_manifest_metrics_flushed(self, spark, tmp_path):
+        images = datagen.images_df(spark, 1)
+        labels = datagen.labels_df(spark)
+        ckdir = str(tmp_path / "mck")
+        state = CocoState.create(spark)
+        m = EngineMetrics(spark)
+        pipeline.append_dataset(
+            spark, state, images, labels, images_dir="d",
+            id_attribute="category_id", name_attribute="class_names",
+            checkpoint_dir=ckdir, metrics=m,
+        )
+        with open(os.path.join(ckdir, "kernel_out", "manifest.json")) as fh:
+            man = json.load(fh)
+        assert man["metrics"]["annotations_emitted"] == 5
