@@ -85,27 +85,31 @@ def validate_labels(
     if not present_id and not present_name:
         raise AttributeError("At least one category attribute must be present")
 
-    checked = labels.withColumn("_geom_ok", _geometry_is_valid(F.col("geometry")))
-    bad_geom = checked.filter(~F.col("_geom_ok")).count()
-    if bad_geom:
-        raise SchemaValidationError(f"Invalid geometry found ({bad_geom} rows)")
-    out = checked.drop("_geom_ok")
-
+    out = labels
     if present_id:
         dtype = dict(labels.dtypes)[id_attribute]
         if dtype in ("string",):
             raise SchemaValidationError(f"{id_attribute} must be numeric, got {dtype}")
-        coerced = out.withColumn(id_attribute, F.col(id_attribute).cast("int"))
-        violations = coerced.filter(
-            F.col(id_attribute).isNull() | (F.col(id_attribute) <= 0)
-        ).count()
-        if violations:
-            raise SchemaValidationError(f"{id_attribute} must be int > 0 ({violations} rows)")
-        out = coerced
+        out = out.withColumn(id_attribute, F.col(id_attribute).cast("int"))
     for attr in (name_attribute, super_attribute):
         if attr is not None and attr in cols:
             if dict(labels.dtypes)[attr] != "string":
                 raise SchemaValidationError(f"{attr} must be str")
+
+    # single aggregation job for all row-level checks (one pass, one UDF)
+    id_bad = (
+        (F.col(id_attribute).isNull() | (F.col(id_attribute) <= 0)).cast("int")
+        if present_id
+        else F.lit(0)
+    )
+    counts = out.agg(
+        F.sum((~_geometry_is_valid(F.col("geometry"))).cast("int")).alias("bad_geom"),
+        F.sum(id_bad).alias("bad_id"),
+    ).first()
+    if counts["bad_geom"]:
+        raise SchemaValidationError(f"Invalid geometry found ({counts['bad_geom']} rows)")
+    if counts["bad_id"]:
+        raise SchemaValidationError(f"{id_attribute} must be int > 0 ({counts['bad_id']} rows)")
     return out
 
 
@@ -300,10 +304,14 @@ def append_dataset(
 
     kout = kout.join(src_df, "image_key")
 
-    # ⑰/W1 — image ids in window-generation order (col outer, row inner)
+    # ⑰/W1 — image ids in window-generation order (col outer, row inner).
+    # The id sort runs on METADATA-ONLY rows; tile payload bytes never
+    # enter a sort/exchange — they are hash-joined back at the end (the
+    # single biggest shuffle-volume lever at scale).
     tile_rows = kout.filter(F.col("row_type") == "tile")
+    tile_meta = tile_rows.drop("tile_bytes", "caption")
     coco_images_new = ids.assign_sequential_ids(
-        tile_rows,
+        tile_meta,
         ["source_id", "col_off", "row_off"],
         "id",
         offset=state.next_image_id() - 1,
@@ -320,7 +328,7 @@ def append_dataset(
         ).alias("file_name"),
         F.col("source_id").cast("long").alias("source_id"),
         F.lit(date_captured).cast("timestamp").alias("date_captured"),
-        "image_key", "tile_name", "tile_bytes", "caption",
+        "image_key", "tile_name",
     )
 
     # ㉒/W2 — annotation ids ordered by (image order, category id, label idx)
@@ -353,6 +361,9 @@ def append_dataset(
     )
     state.annotations = state.annotations.unionByName(coco_annotations_new)
     state.tiles = coco_images_new.select(
-        "id", "file_name", "tile_bytes", "caption", "image_key", "tile_name"
+        "id", "file_name", "image_key", "tile_name"
+    ).join(
+        tile_rows.select("image_key", "tile_name", "tile_bytes", "caption"),
+        ["image_key", "tile_name"],
     )
     return state

@@ -1,0 +1,77 @@
+"""Checkpointed incremental ingestion (Trigger.AvailableNow).
+
+``run_available_now`` drains whatever image files have appeared under
+``input_dir`` since the last run — the streaming checkpoint remembers
+processed files, so a restart ingests only new ones (idempotent,
+exactly-once per file) — and pushes each micro-batch through the batch
+append pipeline via ``foreachBatch``. This is the scalable ingestion
+front for the engine: at 100 TB the nightly/continuous drops land as
+files, and resume-after-crash costs nothing re-processed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geococo_spark import schemas
+
+
+def stream_images(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(schemas.IMAGES)
+        .option("maxFilesPerTrigger", 16)  # bounds per-batch decode memory
+        .parquet(input_dir)
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    stream_checkpoint: str,
+    batch_fn,
+    timeout_sec: int = 600,
+) -> None:
+    """Drain all currently-available files through ``batch_fn(df, epoch)``.
+
+    ``batch_fn`` receives each micro-batch as a plain DataFrame — the
+    callers pass a closure that runs pipeline.append_dataset and appends
+    the COCO outputs to parquet/Iceberg tables.
+    """
+    q = (
+        stream_images(spark, input_dir)
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish in time")
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation for late event data —
+    works on both a streaming and a batch events DataFrame (in batch the
+    watermark is a no-op, so the same code serves the DuckDB-checked
+    q_events_window)."""
+    from pyspark.sql import functions as F
+
+    if events.isStreaming:  # watermark is streaming-only in Spark 4
+        # watermarks require TIMESTAMP (with tz); NTZ event times are cast
+        # in the session TZ (UTC, session.py) so batch/stream agree
+        if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+            events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window).start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )

@@ -50,7 +50,7 @@ def run(cpus: int, n_images: int) -> dict:
 
 
 def main() -> None:
-    n_images = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "64"))
+    n_images = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "192"))
     lo = run(8, n_images)
     hi = run(32, n_images)
     tput_lo = n_images / lo["seconds"]
