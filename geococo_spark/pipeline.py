@@ -69,6 +69,7 @@ def validate_labels(
     id_attribute: str | None = "category_id",
     name_attribute: str | None = None,
     super_attribute: str | None = None,
+    return_count: bool = False,
 ) -> DataFrame:
     """F4 — schema-on-read validation + coercion (geococo/utils.py:228-265).
 
@@ -105,11 +106,14 @@ def validate_labels(
     counts = out.agg(
         F.sum((~_geometry_is_valid(F.col("geometry"))).cast("int")).alias("bad_geom"),
         F.sum(id_bad).alias("bad_id"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
     if counts["bad_geom"]:
         raise SchemaValidationError(f"Invalid geometry found ({counts['bad_geom']} rows)")
     if counts["bad_id"]:
         raise SchemaValidationError(f"{id_attribute} must be int > 0 ({counts['bad_id']} rows)")
+    if return_count:
+        return out, int(counts["n"])
     return out
 
 
@@ -137,8 +141,10 @@ def append_dataset(
     ``geometry`` + user attribute columns + precomputed bounds columns
     (label_minx..label_maxy) + ``label_idx`` + ``geom_type``.
     """
-    # ① validate (F4)
-    labels = validate_labels(labels, id_attribute, name_attribute, super_attribute)
+    # ① validate (F4) — also yields the row count (one pass)
+    labels, n_labels = validate_labels(
+        labels, id_attribute, name_attribute, super_attribute, return_count=True
+    )
 
     # ② category maintenance (J3/A5/A6/W4)
     state.categories = cat_ops.add_categories(
@@ -149,13 +155,13 @@ def append_dataset(
         super_col=super_attribute,
     )
 
-    # ③ J2 — canonical (id, name, supercategory) onto labels + count guard
-    n_labels = labels.count()
+    # ③ J2 — canonical (id, name, supercategory) onto labels. The
+    # reference's no-match ValueError cannot fire here: ② just inserted
+    # every incoming uid into the dimension, so the inner join is total
+    # (guarded in tests; direct update_labels callers keep their own guard)
     labels = cat_ops.update_labels(
         labels, state.categories, id_col=id_attribute, name_col=name_attribute
     )
-    if labels.count() != n_labels:
-        raise ValueError("label(s) without matching Category (reference raises ValueError)")
 
     # ④ A1/A2 — one aggregation job over labels for extents + quantiles
     agg = labels.agg(

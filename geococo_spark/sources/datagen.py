@@ -65,6 +65,22 @@ def images_df(spark: SparkSession, n_images: int = 1, **kw) -> DataFrame:
     return spark.createDataFrame(make_image_rows(n_images, **kw), schemas.IMAGES)
 
 
+def stage_images_parquet(
+    spark: SparkSession, path: str, n_images: int, files: int = 8, **kw
+) -> DataFrame:
+    """Write synthetic images as a parquet table and read them back.
+
+    A local-relation DataFrame re-ships its rows from the driver through
+    py4j on EVERY action — benchmarks (and anything image-scale) must go
+    through a real columnar table, which is also the engine's actual
+    input shape (Iceberg-like, BASELINE.json input_hint)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        images_df(spark, n_images, **kw).repartition(files).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def label_rows(
     centers=FIXTURE_CENTERS,
     buffers=FIXTURE_BUFFERS,

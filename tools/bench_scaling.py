@@ -19,26 +19,50 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 WORKER = r"""
-import json, sys, time
+import json, sys, time, tempfile
 sys.path.insert(0, {repo!r})
 from geococo_spark.session import get_spark
-import bench
+from geococo_spark.sources import datagen
+from geococo_spark import pipeline
+from geococo_spark.coco import CocoState
 
-cpus = int(sys.argv[1])
-n_images = int(sys.argv[2])
-spark = bench._build_spark(cpus)
+cpus = int(sys.argv[1]); n_images = int(sys.argv[2]); stage = sys.argv[3]
+spark = get_spark(app_name="scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-# warmup: JVM + python worker pool spin-up excluded from the measurement
-bench.bench_pipeline(spark, 2)
-dt, counters = bench.bench_pipeline(spark, n_images)
-print(json.dumps({{"cpus": cpus, "seconds": dt, **counters}}))
+
+# compute-dominated workload: parquet-staged inputs (the engine's real
+# input shape), dense labels so the Arrow kernel dominates the wall
+images = datagen.stage_images_parquet(spark, f"{{stage}}/images_{{n_images}}", n_images,
+                                      files=max(8, n_images // 4))
+import os
+lp = f"{{stage}}/labels_dense"
+if not os.path.exists(os.path.join(lp, "_SUCCESS")):
+    datagen.random_labels_df(spark, 12000, extent=1000.0, seed=9).coalesce(4)\
+        .write.mode("overwrite").parquet(lp)
+labels = spark.read.parquet(lp)
+
+def run_once(n):
+    state = CocoState.create(spark)
+    t0 = time.perf_counter()
+    state = pipeline.append_dataset(spark, state, images.limit(n), labels,
+        images_dir="bench_images", window_bounds=[(128, 128), (256, 256)],
+        id_attribute="category_id", name_attribute="class_names")
+    anns = state.annotations.count()
+    return time.perf_counter() - t0, anns
+
+run_once(2)  # warmup: JVM, python worker pool, parquet footer cache
+best = None
+for _ in range(int(sys.argv[4])):
+    dt, anns = run_once(n_images)
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"cpus": cpus, "seconds": best, "annotations": anns}}))
 """
 
 
-def run(cpus: int, n_images: int) -> dict:
+def run(cpus: int, n_images: int, stage: str, reps: int) -> dict:
     code = WORKER.format(repo=str(REPO))
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n_images)],
+        [sys.executable, "-c", code, str(cpus), str(n_images), stage, str(reps)],
         capture_output=True,
         text=True,
         cwd=str(REPO),
@@ -50,9 +74,13 @@ def run(cpus: int, n_images: int) -> dict:
 
 
 def main() -> None:
+    import tempfile
+
     n_images = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "192"))
-    lo = run(8, n_images)
-    hi = run(32, n_images)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    stage = tempfile.mkdtemp(prefix="geococo_scaling_")
+    lo = run(8, n_images, stage, reps)
+    hi = run(32, n_images, stage, reps)
     tput_lo = n_images / lo["seconds"]
     tput_hi = n_images / hi["seconds"]
     efficiency = (tput_hi / tput_lo) / 4.0
