@@ -55,9 +55,7 @@ def bench_pipeline(spark, n_images: int, stage_dir: str | None = None) -> tuple[
     import os
 
     if not os.path.exists(os.path.join(labels_path, "_SUCCESS")):
-        datagen.random_labels_df(spark, 2000, extent=1000.0, seed=9).coalesce(
-            2
-        ).write.mode("overwrite").parquet(labels_path)
+        datagen.random_labels_df(spark, 2000, extent=1000.0, seed=9).repartition(8).write.mode("overwrite").parquet(labels_path)
     labels = spark.read.parquet(labels_path)
     state = CocoState.create(spark, description="bench", contributor="bench")
     t0 = time.perf_counter()

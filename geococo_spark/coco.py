@@ -36,6 +36,27 @@ def bump_version(version: str, bump_method: str) -> str:
     return f"{major}.{minor}.{patch}"
 
 
+def copy_dataset(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    description: str | None = None,
+    contributor: str | None = None,
+    version: str | None = None,
+) -> "CocoState":
+    """S8 — load, optionally update info, save to a new file (reference
+    CLI ``copy``, geococo/cli.py:44-90)."""
+    state = CocoState.from_json_file(spark, src_path)
+    if description is not None:
+        state.info["description"] = description
+    if contributor is not None:
+        state.info["contributor"] = contributor
+    if version is not None:
+        state.info["version"] = version
+    state.to_json_file(dst_path)
+    return state
+
+
 @dataclass
 class CocoState:
     """Driver handle on the four engine tables + info.

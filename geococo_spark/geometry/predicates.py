@@ -48,44 +48,50 @@ def ring_is_simple(ring: np.ndarray) -> bool:
     """True if the closed ring has no self-intersections (GEOS-valid
     shape). Non-adjacent edge pairs must not touch at all; used by the
     label validator (F4) to reject e.g. the bow-tie polygon fixture
-    (reference tests/test_utils.py:359-427)."""
+    (reference tests/test_utils.py:359-427).
+
+    Fully vectorized over all non-adjacent edge pairs (one numpy pass),
+    so validating millions of small rings stays cheap.
+    """
     n = len(ring) - 1
     if n < 3:
         return False
-    x0 = ring[:-1, 0]
-    y0 = ring[:-1, 1]
-    x1 = ring[1:, 0]
-    y1 = ring[1:, 1]
+    ii, jj = np.triu_indices(n, k=2)
+    keep = ~((ii == 0) & (jj == n - 1))  # wraparound adjacency
+    ii, jj = ii[keep], jj[keep]
+    if len(ii) == 0:
+        return True
+    ax, ay = ring[ii, 0], ring[ii, 1]
+    bx, by = ring[ii + 1, 0], ring[ii + 1, 1]
+    cx, cy = ring[jj, 0], ring[jj, 1]
+    dx_, dy_ = ring[jj + 1, 0], ring[jj + 1, 1]
 
-    def orient(ax, ay, bx, by, cx, cy):
-        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
 
-    for i in range(n):
-        # candidate js: non-adjacent edges after i
-        js = np.arange(i + 2, n if i == 0 else n)
-        js = js[js != (i - 1) % n]
-        if len(js) == 0:
-            continue
-        d1 = orient(x0[i], y0[i], x1[i], y1[i], x0[js], y0[js])
-        d2 = orient(x0[i], y0[i], x1[i], y1[i], x1[js], y1[js])
-        d3 = orient(x0[js], y0[js], x1[js], y1[js], x0[i], y0[i])
-        d4 = orient(x0[js], y0[js], x1[js], y1[js], x1[i], y1[i])
-        proper = (np.sign(d1) * np.sign(d2) < 0) & (np.sign(d3) * np.sign(d4) < 0)
-        if proper.any():
-            return False
-        # collinear touching (endpoint on the other segment)
-        for j, dd1, dd2, dd3, dd4 in zip(js, d1, d2, d3, d4):
-            for dd, px, py in ((dd1, x0[j], y0[j]), (dd2, x1[j], y1[j])):
-                if dd == 0 and min(x0[i], x1[i]) <= px <= max(x0[i], x1[i]) and min(
-                    y0[i], y1[i]
-                ) <= py <= max(y0[i], y1[i]):
-                    return False
-            for dd, px, py in ((dd3, x0[i], y0[i]), (dd4, x1[i], y1[i])):
-                if dd == 0 and min(x0[j], x1[j]) <= px <= max(x0[j], x1[j]) and min(
-                    y0[j], y1[j]
-                ) <= py <= max(y0[j], y1[j]):
-                    return False
-    return True
+    d1 = orient(ax, ay, bx, by, cx, cy)
+    d2 = orient(ax, ay, bx, by, dx_, dy_)
+    d3 = orient(cx, cy, dx_, dy_, ax, ay)
+    d4 = orient(cx, cy, dx_, dy_, bx, by)
+    if ((np.sign(d1) * np.sign(d2) < 0) & (np.sign(d3) * np.sign(d4) < 0)).any():
+        return False
+
+    def on_seg(dd, px, py, sx0, sy0, sx1, sy1):
+        return (
+            (dd == 0)
+            & (px >= np.minimum(sx0, sx1))
+            & (px <= np.maximum(sx0, sx1))
+            & (py >= np.minimum(sy0, sy1))
+            & (py <= np.maximum(sy0, sy1))
+        )
+
+    touch = (
+        on_seg(d1, cx, cy, ax, ay, bx, by)
+        | on_seg(d2, dx_, dy_, ax, ay, bx, by)
+        | on_seg(d3, ax, ay, cx, cy, dx_, dy_)
+        | on_seg(d4, bx, by, cx, cy, dx_, dy_)
+    )
+    return not touch.any()
 
 
 def point_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:

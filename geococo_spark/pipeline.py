@@ -347,6 +347,9 @@ def append_dataset(
         ["source_id", "col_off", "row_off", "category_id", "label_idx"],
         "id",
         offset=state.next_annotation_id() - 1,
+        # annotations are the big output: switch to the parallel two-pass
+        # well before the single-task window sort becomes the bottleneck
+        small_threshold=20_000,
     ).select(
         "id",
         F.col("coco_image_id").alias("image_id"),

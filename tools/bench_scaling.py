@@ -32,19 +32,22 @@ spark.sparkContext.setLogLevel("ERROR")
 
 # compute-dominated workload: parquet-staged inputs (the engine's real
 # input shape), dense labels so the Arrow kernel dominates the wall
-images = datagen.stage_images_parquet(spark, f"{{stage}}/images_{{n_images}}", n_images,
-                                      files=max(8, n_images // 4))
+def staged_images(n):
+    return datagen.stage_images_parquet(spark, f"{{stage}}/images_{{n}}", n,
+                                        files=max(8, n // 4))
+images = staged_images(n_images)
 import os
 lp = f"{{stage}}/labels_dense"
 if not os.path.exists(os.path.join(lp, "_SUCCESS")):
-    datagen.random_labels_df(spark, 12000, extent=1000.0, seed=9).coalesce(4)\
+    datagen.random_labels_df(spark, 12000, extent=1000.0, seed=9).repartition(32)\
         .write.mode("overwrite").parquet(lp)
 labels = spark.read.parquet(lp)
 
 def run_once(n):
+    imgs = staged_images(n)  # NEVER .limit(): a global limit serializes
     state = CocoState.create(spark)
     t0 = time.perf_counter()
-    state = pipeline.append_dataset(spark, state, images.limit(n), labels,
+    state = pipeline.append_dataset(spark, state, imgs, labels,
         images_dir="bench_images", window_bounds=[(128, 128), (256, 256)],
         id_attribute="category_id", name_attribute="class_names")
     anns = state.annotations.count()
