@@ -64,6 +64,54 @@ def _geometry_is_valid(geom: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _coerce_labels(
+    labels: DataFrame,
+    id_attribute: str | None,
+    name_attribute: str | None,
+    super_attribute: str | None,
+) -> tuple[DataFrame, bool]:
+    """Type-level checks + coercion of F4 (no Spark job). Returns
+    (coerced df, id_attribute_present)."""
+    cols = labels.columns
+    present_id = id_attribute is not None and id_attribute in cols
+    present_name = name_attribute is not None and name_attribute in cols
+    if not present_id and not present_name:
+        raise AttributeError("At least one category attribute must be present")
+    out = labels
+    if present_id:
+        dtype = dict(labels.dtypes)[id_attribute]
+        if dtype in ("string",):
+            raise SchemaValidationError(f"{id_attribute} must be numeric, got {dtype}")
+        out = out.withColumn(id_attribute, F.col(id_attribute).cast("int"))
+    for attr in (name_attribute, super_attribute):
+        if attr is not None and attr in cols:
+            if dict(labels.dtypes)[attr] != "string":
+                raise SchemaValidationError(f"{attr} must be str")
+    return out, present_id
+
+
+def _row_check_exprs(id_attribute: str | None, present_id: bool) -> list:
+    """Aggregate expressions for the row-level F4 checks (fused into a
+    caller's single aggregation pass)."""
+    id_bad = (
+        (F.col(id_attribute).isNull() | (F.col(id_attribute) <= 0)).cast("int")
+        if present_id
+        else F.lit(0)
+    )
+    return [
+        F.sum((~_geometry_is_valid(F.col("geometry"))).cast("int")).alias("bad_geom"),
+        F.sum(id_bad).alias("bad_id"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+
+
+def _raise_on_violations(counts, id_attribute: str | None) -> None:
+    if counts["bad_geom"]:
+        raise SchemaValidationError(f"Invalid geometry found ({counts['bad_geom']} rows)")
+    if counts["bad_id"]:
+        raise SchemaValidationError(f"{id_attribute} must be int > 0 ({counts['bad_id']} rows)")
+
+
 def validate_labels(
     labels: DataFrame,
     id_attribute: str | None = "category_id",
@@ -80,38 +128,9 @@ def validate_labels(
     Raises :class:`SchemaValidationError` on any violation, like the
     reference's SchemaError (tests/test_utils.py:359-427).
     """
-    cols = labels.columns
-    present_id = id_attribute is not None and id_attribute in cols
-    present_name = name_attribute is not None and name_attribute in cols
-    if not present_id and not present_name:
-        raise AttributeError("At least one category attribute must be present")
-
-    out = labels
-    if present_id:
-        dtype = dict(labels.dtypes)[id_attribute]
-        if dtype in ("string",):
-            raise SchemaValidationError(f"{id_attribute} must be numeric, got {dtype}")
-        out = out.withColumn(id_attribute, F.col(id_attribute).cast("int"))
-    for attr in (name_attribute, super_attribute):
-        if attr is not None and attr in cols:
-            if dict(labels.dtypes)[attr] != "string":
-                raise SchemaValidationError(f"{attr} must be str")
-
-    # single aggregation job for all row-level checks (one pass, one UDF)
-    id_bad = (
-        (F.col(id_attribute).isNull() | (F.col(id_attribute) <= 0)).cast("int")
-        if present_id
-        else F.lit(0)
-    )
-    counts = out.agg(
-        F.sum((~_geometry_is_valid(F.col("geometry"))).cast("int")).alias("bad_geom"),
-        F.sum(id_bad).alias("bad_id"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    if counts["bad_geom"]:
-        raise SchemaValidationError(f"Invalid geometry found ({counts['bad_geom']} rows)")
-    if counts["bad_id"]:
-        raise SchemaValidationError(f"{id_attribute} must be int > 0 ({counts['bad_id']} rows)")
+    out, present_id = _coerce_labels(labels, id_attribute, name_attribute, super_attribute)
+    counts = out.agg(*_row_check_exprs(id_attribute, present_id)).first()
+    _raise_on_violations(counts, id_attribute)
     if return_count:
         return out, int(counts["n"])
     return out
@@ -141,10 +160,25 @@ def append_dataset(
     ``geometry`` + user attribute columns + precomputed bounds columns
     (label_minx..label_maxy) + ``label_idx`` + ``geom_type``.
     """
-    # ① validate (F4) — also yields the row count (one pass)
-    labels, n_labels = validate_labels(
-        labels, id_attribute, name_attribute, super_attribute, return_count=True
-    )
+    # ① F4 type coercion (no job)
+    labels, present_id = _coerce_labels(labels, id_attribute, name_attribute, super_attribute)
+
+    # ①+④ ONE aggregation pass over labels: row-level validation counts
+    # fused with A1 extents + exact percentiles (driver prologue is 2 jobs
+    # total — this one + the images-metadata collect below)
+    agg = labels.agg(
+        *_row_check_exprs(id_attribute if present_id else None, present_id),
+        F.min("label_minx").alias("minx"),
+        F.min("label_miny").alias("miny"),
+        F.max("label_maxx").alias("maxx"),
+        F.max("label_maxy").alias("maxy"),
+        F.expr(f"percentile(label_maxx - label_minx, {quantile})").alias("qw"),
+        F.expr(f"percentile(label_maxy - label_miny, {quantile})").alias("qh"),
+        F.first("crs").alias("crs"),
+    ).first()
+    _raise_on_violations(agg, id_attribute)
+    n_labels = int(agg["n"])
+    vminx, vminy, vmaxx, vmaxy = (float(agg[k]) for k in ("minx", "miny", "maxx", "maxy"))
 
     # ② category maintenance (J3/A5/A6/W4)
     state.categories = cat_ops.add_categories(
@@ -163,56 +197,34 @@ def append_dataset(
         labels, state.categories, id_col=id_attribute, name_col=name_attribute
     )
 
-    # ④ A1/A2 — one aggregation job over labels for extents + quantiles
-    agg = labels.agg(
-        F.min("label_minx").alias("minx"),
-        F.min("label_miny").alias("miny"),
-        F.max("label_maxx").alias("maxx"),
-        F.max("label_maxy").alias("maxy"),
-        F.expr(f"percentile(label_maxx - label_minx, {quantile})").alias("qw"),
-        F.expr(f"percentile(label_maxy - label_miny, {quantile})").alias("qh"),
-    ).first()
-    vminx, vminy, vmaxx, vmaxy = (float(agg[k]) for k in ("minx", "miny", "maxx", "maxy"))
-
-    # ⑤-⑦ CRS guard (F5), schema estimate (T4) — driver scalars
-    crs_vals = [r["crs"] for r in images.select("crs").distinct().collect()]
-    lbl_crs = [r["crs"] for r in labels.select("crs").distinct().limit(2).collect()]
-    if lbl_crs and set(crs_vals) - set(lbl_crs):
+    # ⑤-⑨ ONE images-metadata collect feeds the CRS guard (F5), schema
+    # estimate res (T4), extent-overlap guard (A3) and source
+    # registration (J4/X3). Source ids are dimension-scale (# distinct
+    # rasters), so the collect is inherent to the reference's semantics.
+    meta = images.select(
+        "image_id", "crs", "w", "h",
+        "transform.a", "transform.c", "transform.e", "transform.f",
+    ).orderBy("image_id").collect()
+    if not meta:
+        raise ValueError("images table is empty")
+    crs_vals = {r["crs"] for r in meta}
+    if agg["crs"] is not None and crs_vals - {agg["crs"]}:
         raise ValueError("CRS of input raster and labels don't match, exiting..")
-    first_t = images.select("transform").first()["transform"]
-    res = (abs(float(first_t["a"])), abs(float(first_t["e"])))
+    res = (abs(float(meta[0]["a"])), abs(float(meta[0]["e"])))
     schema = grid.estimate_schema(float(agg["qw"]), float(agg["qh"]), res, window_bounds)
+    # A3 overlap guard, evaluated driver-side on the collected metadata
+    # (per-image parent windows stay column expressions below)
+    def _overlaps(r) -> bool:
+        col0 = (vminx - r["c"]) / r["a"]
+        row0 = (vmaxy - r["f"]) / r["e"]
+        col1 = col0 + (vmaxx - vminx) / r["a"]
+        row1 = row0 + (vminy - vmaxy) / r["e"]
+        return min(r["w"], col1) > max(0.0, col0) and min(r["h"], row1) > max(0.0, row0)
 
-    # A3 — per-image parent window = raster window ∩ label-extent window
-    t = "transform"
-    rb_x0 = F.col(f"{t}.c")
-    rb_x1 = F.col(f"{t}.c") + F.col(f"{t}.a") * F.col("w")
-    rb_y0 = F.col(f"{t}.f")
-    rb_y1 = F.col(f"{t}.f") + F.col(f"{t}.e") * F.col("h")
-    # pixel-space windows via from_bounds (utils.py:55-58)
-    v_col = (F.lit(vminx) - F.col(f"{t}.c")) / F.col(f"{t}.a")
-    v_row = (F.lit(vmaxy) - F.col(f"{t}.f")) / F.col(f"{t}.e")
-    v_w = F.lit(vmaxx - vminx) / F.col(f"{t}.a")
-    v_h = (F.lit(vminy) - F.lit(vmaxy)) / F.col(f"{t}.e")
-    with_parent = (
-        images.withColumn("_rc0", F.lit(0.0))
-        .withColumn("_rr0", F.lit(0.0))
-        .withColumn("_p0", F.greatest(F.col("_rc0"), v_col))
-        .withColumn("_q0", F.greatest(F.col("_rr0"), v_row))
-        .withColumn("_p1", F.least(F.col("w").cast("double"), v_col + v_w))
-        .withColumn("_q1", F.least(F.col("h").cast("double"), v_row + v_h))
-        .withColumn("parent_col_off", F.col("_p0").cast("long"))
-        .withColumn("parent_row_off", F.col("_q0").cast("long"))
-        .withColumn("parent_width", (F.col("_p1") - F.col("_p0")).cast("long"))
-        .withColumn("parent_height", (F.col("_q1") - F.col("_q0")).cast("long"))
-        .drop("_rc0", "_rr0", "_p0", "_q0", "_p1", "_q1")
-    )
-    overlapping = with_parent.filter((F.col("parent_width") > 0) & (F.col("parent_height") > 0))
-    if overlapping.limit(1).count() == 0:
+    if not any(_overlaps(r) for r in meta):
         raise ValueError("Extent of input raster and vector don't overlap")
 
-    # ⑨ sources + version bumps (J4/X3) — tiny, driver-side, one batch
-    img_ids = [r["image_id"] for r in images.select("image_id").orderBy("image_id").collect()]
+    img_ids = [r["image_id"] for r in meta]
     source_map = state.register_sources(img_ids, date_captured)
     state.verify_used_dir(images_dir)
     src_df = F.broadcast(
@@ -220,6 +232,26 @@ def append_dataset(
             [(k, v) for k, v in source_map.items()], ["image_key", "source_id"]
         )
     )
+
+    # A3 — per-image parent window = raster window ∩ label-extent window
+    t = "transform"
+    # pixel-space windows via from_bounds (utils.py:55-58)
+    v_col = (F.lit(vminx) - F.col(f"{t}.c")) / F.col(f"{t}.a")
+    v_row = (F.lit(vmaxy) - F.col(f"{t}.f")) / F.col(f"{t}.e")
+    v_w = F.lit(vmaxx - vminx) / F.col(f"{t}.a")
+    v_h = (F.lit(vminy) - F.lit(vmaxy)) / F.col(f"{t}.e")
+    with_parent = (
+        images.withColumn("_p0", F.greatest(F.lit(0.0), v_col))
+        .withColumn("_q0", F.greatest(F.lit(0.0), v_row))
+        .withColumn("_p1", F.least(F.col("w").cast("double"), v_col + v_w))
+        .withColumn("_q1", F.least(F.col("h").cast("double"), v_row + v_h))
+        .withColumn("parent_col_off", F.col("_p0").cast("long"))
+        .withColumn("parent_row_off", F.col("_q0").cast("long"))
+        .withColumn("parent_width", (F.col("_p1") - F.col("_p0")).cast("long"))
+        .withColumn("parent_height", (F.col("_q1") - F.col("_q0")).cast("long"))
+        .drop("_p0", "_q0", "_p1", "_q1")
+    )
+    overlapping = with_parent.filter((F.col("parent_width") > 0) & (F.col("parent_height") > 0))
 
     # ⑩-⑫ tile grid (T1-T3) + spatial join (J1); transform flattened to
     # plain columns before the explodes (struct extraction after repeated
