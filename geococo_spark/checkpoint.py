@@ -34,6 +34,7 @@ class EngineMetrics:
         "masks_empty",
         "bytes_decoded",
         "knn_fallbacks",
+        "kernel_ms",  # wall ms spent inside the tile kernel (all workers)
     ]
 
     def __init__(self, spark: SparkSession):

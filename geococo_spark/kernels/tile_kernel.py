@@ -112,8 +112,12 @@ def run_tile_kernel(
             }
         )
 
-        for _, pair in group.iterrows():
-            g = bytes(pair["geometry"])
+        # direct array iteration — iterrows() builds a Series per row,
+        # which dominates at thousands of pairs per tile
+        for g_raw, p_label_idx, p_cat_id in zip(
+            group["geometry"].values, group["label_idx"].values, group["id"].values
+        ):
+            g = bytes(g_raw)
             cached = geom_cache.get(g)
             if cached is None:
                 cached = (wkb.geom_type(g), wkb.decode_rings(g))
@@ -139,8 +143,8 @@ def run_tile_kernel(
                     "tile_height": tile_h,
                     "tile_bytes": None,
                     "caption": None,
-                    "label_idx": int(pair["label_idx"]),
-                    "category_id": int(pair["id"]),
+                    "label_idx": int(p_label_idx),
+                    "category_id": int(p_cat_id),
                     "rle_size": enc["size"],
                     "rle_counts": enc["counts"],
                     "area": float(mask.sum()),  # A4
@@ -164,6 +168,12 @@ def cogroup_kernel(out_fmt: str = "jpeg", acc: dict | None = None):
     kernel can report engine metrics (checkpoint.EngineMetrics)."""
 
     def _fn(image_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
-        return run_tile_kernel(image_pdf, pairs_pdf, out_fmt=out_fmt, acc=acc)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = run_tile_kernel(image_pdf, pairs_pdf, out_fmt=out_fmt, acc=acc)
+        if acc is not None and "kernel_ms" in acc:
+            acc["kernel_ms"].add(int((_time.perf_counter() - t0) * 1000))
+        return out
 
     return _fn
