@@ -63,10 +63,13 @@ def ngram_jaccard_pairs(
     shingle-explode -> equi-join on shingle -> count common -> Jaccard =
     common / (|A| + |B| - common); jaccard rounded to 6 dp.
     """
-    sh = df.select(
+    spark = df.sparkSession
+    sh = df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col)).select(
         F.col(id_col).alias("doc"), F.array_distinct(word_shingles(text_col, k)).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    # the exploded shingle table feeds both sides of the self-join —
+    # pin it so the string-heavy shingling runs once
+    ex = sh.select("doc", "n_sh", F.explode("sh").alias("shingle")).persist()
     pairs = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
@@ -155,19 +158,29 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm=num_perm, seed=seed)
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    spark = df.sparkSession
+    # single-file inputs otherwise shingle in ONE task; and the shingle
+    # table is referenced three times (signature + both verify joins), so
+    # pin it instead of recomputing the string-heavy transform
+    sh = (
+        df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
+    )
     # shingle -> int hashing stays JVM-side (xxhash64 inside transform);
     # the Python UDF only sees integer arrays
     sig = sh.withColumn(
         "sig", sig_udf(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
     )
+    # band the doc ids ONLY — the (fat) shingle arrays must not be
+    # replicated x bands through the self-join shuffle; they re-attach to
+    # the (small) candidate set afterwards
     banded = sig.select(
         "doc",
-        "n_sh",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -179,9 +192,9 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc", "n_sh", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    cand = (
+    cand_ids = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -189,15 +202,15 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
     )
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
@@ -251,7 +264,10 @@ def simhash_pairs(
     """
     nb = max_hamming + 1
     width = 64 // nb
-    sh = df.select(F.col(id_col).alias("doc"), simhash_udf()(F.col(text_col)).alias("simhash"))
+    spark = df.sparkSession
+    sh = df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col)).select(
+        F.col(id_col).alias("doc"), simhash_udf()(F.col(text_col)).alias("simhash")
+    ).persist()
     bands_col = F.explode(
         F.array(
             *[
