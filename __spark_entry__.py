@@ -250,6 +250,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # J1 relational skeleton: cell equi-join + bbox residual + dedupe
         return _bbox_pairs(spark, sf_dir).select("tile_id", "label_id")
 
+    def q_spatial_join_salted(spark, sf_dir):
+        # J1 shuffle mode with hot-cell salting forced on — must produce
+        # exactly the same pairs as the broadcast path (same oracle)
+        from geococo_spark.operators import spatial_join
+
+        return spatial_join.spatial_join(
+            _tiles_grid(spark),
+            _labels_boxes(spark, sf_dir),
+            cell_size=100.0,
+            label_id="label_id",
+            exact=False,
+            geometry="label_id",
+            broadcast_rows=0,
+            n_salt=4,
+            hot_threshold=0,
+        ).select("tile_id", "label_id")
+
+    def q_knn_bbox(spark, sf_dir):
+        # J5 skeleton with box-to-box distance (SQL-expressible variant of
+        # the kNN fallback): nearest tile per label, ties -> lowest tile_id
+        labels = _labels_boxes(spark, sf_dir)
+        tiles = _tiles_grid(spark)
+        dx = F.greatest(
+            F.lit(0.0),
+            F.greatest(
+                F.col("tile_minx") - F.col("label_maxx"),
+                F.col("label_minx") - F.col("tile_maxx"),
+            ),
+        )
+        dy = F.greatest(
+            F.lit(0.0),
+            F.greatest(
+                F.col("tile_miny") - F.col("label_maxy"),
+                F.col("label_miny") - F.col("tile_maxy"),
+            ),
+        )
+        scored = labels.crossJoin(F.broadcast(tiles)).withColumn(
+            "dist", F.round(F.sqrt(dx * dx + dy * dy), 6)
+        )
+        w = Window.partitionBy("label_id").orderBy(F.col("dist").asc(), F.col("tile_id").asc())
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("label_id", "tile_id", "dist")
+        )
+
     def q_cell_join_count(spark, sf_dir):
         # A8-style grouped existence/count per tile
         return (
@@ -460,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_estimate_overlap": q_estimate_overlap,
         "q_cell_cover": q_cell_cover,
         "q_spatial_join_bbox": q_spatial_join_bbox,
+        "q_spatial_join_salted": q_spatial_join_salted,
+        "q_knn_bbox": q_knn_bbox,
         "q_cell_join_count": q_cell_join_count,
         "q_category_antijoin": q_category_antijoin,
         "q_category_autoids": q_category_autoids,
@@ -552,6 +600,25 @@ CROSS JOIN unnest(generate_series(CAST(floor(label_miny / 100.0) AS BIGINT),
         "q_spatial_join_bbox": f"""
 WITH pairs AS ({_PAIRS_SQL})
 SELECT tile_id, label_id FROM pairs
+""",
+        "q_spatial_join_salted": f"""
+WITH pairs AS ({_PAIRS_SQL})
+SELECT tile_id, label_id FROM pairs
+""",
+        "q_knn_bbox": f"""
+WITH tiles AS ({_TILES_SQL}), labels AS ({_LABELS_SQL}),
+scored AS (
+  SELECT l.label_id, t.tile_id,
+         round(sqrt(
+           pow(greatest(0.0, greatest(t.tile_minx - l.label_maxx, l.label_minx - t.tile_maxx)), 2)
+         + pow(greatest(0.0, greatest(t.tile_miny - l.label_maxy, l.label_miny - t.tile_maxy)), 2)
+         ), 6) AS dist
+  FROM labels l CROSS JOIN tiles t),
+ranked AS (
+  SELECT label_id, tile_id, dist,
+         row_number() OVER (PARTITION BY label_id ORDER BY dist ASC, tile_id ASC) AS rk
+  FROM scored)
+SELECT label_id, tile_id, dist FROM ranked WHERE rk = 1
 """,
         "q_cell_join_count": f"""
 WITH pairs AS ({_PAIRS_SQL})
