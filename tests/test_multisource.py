@@ -1,0 +1,75 @@
+"""Multi-source parity: several distinct rasters appended in one batch
+(reference semantics: one add_source per raster, minor bump each —
+geococo/coco_models.py:39-54; image ids ordered source-major, W1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geococo_spark import pipeline, schemas
+from geococo_spark.coco import CocoState
+from geococo_spark.sources import datagen
+
+
+@pytest.fixture(scope="module")
+def two_sources(spark):
+    images = spark.createDataFrame(datagen.make_image_rows(2), schemas.IMAGES)
+    labels = datagen.labels_df(spark)
+    state = CocoState.create(spark)
+    state = pipeline.append_dataset(
+        spark, state, images, labels, images_dir="d",
+        id_attribute="category_id", name_attribute="class_names",
+    )
+    state.images = state.images.cache()
+    state.annotations = state.annotations.cache()
+    return state
+
+
+class TestMultiSource:
+    def test_sources_registered_in_order(self, two_sources):
+        srcs = two_sources.sources.orderBy("id").collect()
+        assert [(s.id, s.file_name) for s in srcs] == [
+            (1, "img_000000000000"),
+            (2, "img_000000000001"),
+        ]
+
+    def test_two_minor_bumps_plus_major(self, two_sources):
+        # 0.0.0 -> minor x2 (two new sources) -> major (new dir) = 1.0.0
+        assert two_sources.info["version"] == "1.0.0"
+
+    def test_image_ids_source_major(self, two_sources):
+        imgs = two_sources.images.orderBy("id").collect()
+        assert len(imgs) == 2  # one matched window per source (fixture)
+        assert [i.source_id for i in imgs] == [1, 2]
+        assert [i.id for i in imgs] == [1, 2]
+        assert imgs[0].file_name.startswith("d/1_")
+        assert imgs[1].file_name.startswith("d/2_")
+
+    def test_annotations_grouped_by_image(self, two_sources):
+        anns = two_sources.annotations.orderBy("id").collect()
+        assert len(anns) == 10  # 5 fixture labels x 2 sources
+        assert [a.image_id for a in anns] == [1] * 5 + [2] * 5
+        assert [a.id for a in anns] == list(range(1, 11))
+        # same geometry on both rasters -> identical per-image values
+        first = [(a.category_id, a.area, list(a.bbox)) for a in anns[:5]]
+        second = [(a.category_id, a.area, list(a.bbox)) for a in anns[5:]]
+        assert first == second
+
+    def test_mixed_overlap_sources_keep_only_overlapping_windows(self, spark):
+        # labels overlap the raster extent only partially: far labels are
+        # never matched, near ones are; pipeline must not fail (reference
+        # raises only when NOTHING overlaps)
+        centers = datagen.FIXTURE_CENTERS + datagen.FIXTURE_CENTERS_FAR
+        buffers = datagen.FIXTURE_BUFFERS * 2
+        cat_ids = datagen.FIXTURE_CATEGORY_IDS * 2
+        names = datagen.FIXTURE_CLASS_NAMES * 2
+        labels = datagen.labels_df(
+            spark, centers=centers, buffers=buffers, category_ids=cat_ids, class_names=names
+        )
+        images = datagen.images_df(spark, 1)
+        state = CocoState.create(spark)
+        state = pipeline.append_dataset(
+            spark, state, images, labels, images_dir="d",
+            id_attribute="category_id", name_attribute="class_names",
+        )
+        # only the 5 near labels annotate; far ones fall outside every window
+        assert state.annotations.count() == 5
