@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) for the pure-numpy geometry core.
+
+The reference relies on seeded-random fixtures; property testing extends
+that (SURVEY.md §5 engine test plan) without needing Spark."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geococo_spark.geometry import predicates, rasterize, rle, wkb
+
+NO_DEADLINE = settings(max_examples=60, deadline=None)
+
+
+@st.composite
+def masks(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    seed = draw(st.integers(0, 2**31 - 1))
+    density = draw(st.floats(0.0, 1.0))
+    return np.random.RandomState(seed).rand(h, w) < density
+
+
+@st.composite
+def convex_polygons(draw):
+    """Random convex-ish polygon: circle with radius jitter, closed ring."""
+    cx = draw(st.floats(-50, 50))
+    cy = draw(st.floats(-50, 50))
+    r = draw(st.floats(0.5, 20))
+    n = draw(st.integers(3, 24))
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    pts = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    return np.vstack([pts, pts[:1]])
+
+
+class TestRleProperties:
+    @NO_DEADLINE
+    @given(masks())
+    def test_roundtrip(self, mask):
+        enc = rle.encode(mask)
+        np.testing.assert_array_equal(rle.decode(enc), mask)
+
+    @NO_DEADLINE
+    @given(masks())
+    def test_area_equals_sum(self, mask):
+        assert rle.area(rle.encode(mask)) == int(mask.sum())
+
+    @NO_DEADLINE
+    @given(masks())
+    def test_counts_sum_equals_size(self, mask):
+        counts = rle.mask_to_counts(mask)
+        assert counts.sum() == mask.size
+
+
+class TestWkbProperties:
+    @NO_DEADLINE
+    @given(convex_polygons())
+    def test_roundtrip(self, ring):
+        blob = wkb.encode_polygon([ring])
+        gtype, rings = wkb.decode(blob)
+        assert gtype == "Polygon"
+        np.testing.assert_allclose(rings[0], ring)
+
+    @NO_DEADLINE
+    @given(convex_polygons())
+    def test_bounds_match_numpy(self, ring):
+        blob = wkb.encode_polygon([ring])
+        minx, miny, maxx, maxy = wkb.bounds(blob)
+        assert minx == ring[:, 0].min() and maxx == ring[:, 0].max()
+        assert miny == ring[:, 1].min() and maxy == ring[:, 1].max()
+
+
+class TestPredicateProperties:
+    @NO_DEADLINE
+    @given(convex_polygons(), st.floats(-60, 60), st.floats(-60, 60))
+    def test_disjoint_bbox_never_intersects(self, ring, bx, by):
+        minx, miny = ring.min(axis=0)
+        # box strictly right of and above the polygon bbox
+        maxx, maxy = ring.max(axis=0)
+        box = (maxx + 1.0, maxy + 1.0, maxx + 2.0 + abs(bx) % 5, maxy + 2.0 + abs(by) % 5)
+        assert not predicates.box_intersects_polygon(*box, [ring])
+
+    @NO_DEADLINE
+    @given(convex_polygons())
+    def test_centroid_box_intersects(self, ring):
+        cx, cy = ring[:-1].mean(axis=0)
+        assert predicates.box_intersects_polygon(cx - 0.01, cy - 0.01, cx + 0.01, cy + 0.01, [ring])
+
+    @NO_DEADLINE
+    @given(convex_polygons())
+    def test_circle_rings_are_simple(self, ring):
+        assert predicates.ring_is_simple(ring)
+
+    @NO_DEADLINE
+    @given(convex_polygons())
+    def test_distance_zero_iff_intersects(self, ring):
+        minx, miny = ring.min(axis=0)
+        maxx, maxy = ring.max(axis=0)
+        inside = predicates.polygon_box_distance([ring], minx, miny, maxx, maxy)
+        assert inside == 0.0
+        far = predicates.polygon_box_distance([ring], maxx + 10, maxy + 10, maxx + 11, maxy + 11)
+        assert far > 0
+
+
+IDENTITY = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
+
+
+class TestRasterizeProperties:
+    @NO_DEADLINE
+    @given(convex_polygons())
+    def test_all_touched_covers_area(self, ring):
+        # place polygon into a grid that contains it
+        minx, miny = ring.min(axis=0)
+        maxx, maxy = ring.max(axis=0)
+        shifted = ring - [minx - 2, maxy + 2]  # now in x>=2, y<=-2
+        rows = int(np.ceil(maxy - miny)) + 5
+        cols = int(np.ceil(maxx - minx)) + 5
+        mask = rasterize.rasterize_all_touched([shifted], IDENTITY, (rows, cols))
+        area = predicates.polygon_area([shifted])
+        assert mask.sum() >= area  # all_touched over-covers
+        assert mask.sum() > 0
+
+    @NO_DEADLINE
+    @given(convex_polygons())
+    def test_mask_within_bbox_halo(self, ring):
+        minx, miny = ring.min(axis=0)
+        maxx, maxy = ring.max(axis=0)
+        shifted = ring - [minx - 3, maxy + 3]
+        rows = int(np.ceil(maxy - miny)) + 7
+        cols = int(np.ceil(maxx - minx)) + 7
+        mask = rasterize.rasterize_all_touched([shifted], IDENTITY, (rows, cols))
+        # no burned pixel outside the bbox + 1-cell halo
+        x, y, w, h = rasterize.bounding_rect(mask)
+        sminx, sminy = shifted.min(axis=0)
+        smaxx, smaxy = shifted.max(axis=0)
+        assert x >= np.floor(sminx) - 1 and x + w <= np.ceil(smaxx) + 1
+        assert y >= np.floor(-smaxy) - 1 and y + h <= np.ceil(-sminy) + 1
+
+
+class TestGridArangeProperty:
+    @NO_DEADLINE
+    @given(
+        st.integers(0, 50), st.integers(0, 50), st.integers(1, 300), st.integers(1, 300),
+        st.integers(1, 64), st.integers(0, 20),
+    )
+    def test_arange_formula(self, col_off, row_off, width, height, window, overlap):
+        """The inclusive-sequence endpoint formula used by
+        grid._arange_seq must equal np.arange for every valid schema."""
+        step = window - 2 * overlap
+        if step <= 0:
+            return
+        start = max(0, col_off - overlap)
+        stop = width + col_off - overlap
+        expected = list(np.arange(start, stop, step))
+        if stop > start:
+            last = start + ((stop - 1 - start) // step) * step
+            got = list(range(start, last + 1, step))
+        else:
+            got = []
+        assert got == expected
