@@ -55,6 +55,21 @@ def run_tile_kernel(
     img = image_pdf.iloc[0]
     arr = codec.decode_image(bytes(img["bytes"]))
     bump("bytes_decoded", len(img["bytes"]))
+
+    # split the cogrouped rows: "geom" rows (geometry set, window null)
+    # carry each label's WKB exactly once; "pair" rows are thin
+    # (tile window + label_idx + category id) — see pipeline._pairs_small
+    geom_mask = pairs_pdf["geometry"].notna()
+    label_geoms: dict[int, tuple[str, list]] = {}
+    for li, g in zip(
+        pairs_pdf.loc[geom_mask, "label_idx"].values,
+        pairs_pdf.loc[geom_mask, "geometry"].values,
+    ):
+        gb = bytes(g)
+        label_geoms[int(li)] = (wkb.geom_type(gb), wkb.decode_rings(gb))
+    pairs_pdf = pairs_pdf.loc[~geom_mask]
+    if len(pairs_pdf) == 0:
+        return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
     t = img["transform"]
     a, c, e, f = float(t["a"]), float(t["c"]), float(t["e"]), float(t["f"])
     nodata = img["nodata"]
@@ -62,8 +77,6 @@ def run_tile_kernel(
     bands = int(img["bands"])
     caption = img["caption"]
     image_key = str(img["image_id"])
-
-    geom_cache: dict[bytes, tuple[str, list[np.ndarray]]] = {}
 
     for (col_off, row_off, width, height), group in pairs_pdf.groupby(
         ["col_off", "row_off", "width", "height"], sort=False
@@ -114,15 +127,10 @@ def run_tile_kernel(
 
         # direct array iteration — iterrows() builds a Series per row,
         # which dominates at thousands of pairs per tile
-        for g_raw, p_label_idx, p_cat_id in zip(
-            group["geometry"].values, group["label_idx"].values, group["id"].values
+        for p_label_idx, p_cat_id in zip(
+            group["label_idx"].values, group["id"].values
         ):
-            g = bytes(g_raw)
-            cached = geom_cache.get(g)
-            if cached is None:
-                cached = (wkb.geom_type(g), wkb.decode_rings(g))
-                geom_cache[g] = cached
-            gtype, rings = cached
+            gtype, rings = label_geoms[int(p_label_idx)]
             # R1: all_touched rasterize on the tile grid
             mask = rasterize.rasterize_all_touched(rings, tile_transform, (tile_h, tile_w))
             if not mask.any():  # F3

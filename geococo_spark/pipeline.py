@@ -303,11 +303,32 @@ def append_dataset(
     # checkpoint_dir the truncation doubles as a resumable stage with a
     # per-partition lineage manifest (north_rule).
     def _pairs_small():
-        return pairs.select(
+        # ship each label's WKB ONCE per image ("geom" rows) and keep the
+        # per-(tile,label) rows thin — a label matching k tiles would
+        # otherwise push k copies of its geometry through the shuffle and
+        # the Arrow boundary (~10x volume on dense-label workloads)
+        base = pairs.select(
             F.col("tile_image_id").alias("image_id"),
             "col_off", "row_off", "width", "height",
             "label_idx", "geometry", "id",
         )
+        geom_rows = base.select(
+            "image_id", "label_idx", "geometry"
+        ).dropDuplicates(["image_id", "label_idx"]).select(
+            "image_id",
+            F.lit(None).cast("long").alias("col_off"),
+            F.lit(None).cast("long").alias("row_off"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            "label_idx",
+            "geometry",
+            F.lit(None).cast("int").alias("id"),
+        )
+        pair_rows = base.select(
+            "image_id", "col_off", "row_off", "width", "height",
+            "label_idx", F.lit(None).cast("binary").alias("geometry"), "id",
+        )
+        return geom_rows.unionByName(pair_rows)
 
     ckpt = StageCheckpoint(spark, checkpoint_dir) if checkpoint_dir is not None else None
     if ckpt is not None:
