@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -97,6 +99,11 @@ def main() -> None:
         "q_events_window",
     ]
     queries = entry_mod.queries()
+    # warmup: JVM codegen + python worker pool, so the first headline
+    # query isn't charged the session spin-up
+    spark.range(10_000).withColumn("g", (F.col("id") % 7)).groupBy("g").applyInPandas(
+        lambda p: p, "id long, g long"
+    ).count()
     times: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()

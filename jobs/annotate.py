@@ -71,7 +71,20 @@ def main(argv: list[str] | None = None) -> None:
     state.categories.write.mode("overwrite").parquet(f"{args.output}/coco_categories")
     state.sources.write.mode("overwrite").parquet(f"{args.output}/coco_sources")
     if state.tiles is not None:
-        state.tiles.write.mode("overwrite").parquet(f"{args.output}/tiles")
+        # Z-order the tile payload layout: neighboring tiles land in the
+        # same files, so spatial range reads prune (operators/cells.py)
+        from pyspark.sql import functions as F
+
+        from geococo_spark.operators import cells
+
+        tiles = state.tiles.withColumn(
+            "_zx", F.floor(F.split(F.col("tile_name"), "_")[0].cast("double") / 256.0)
+        ).withColumn(
+            "_zy", F.floor(F.split(F.col("tile_name"), "_")[1].cast("double") / 256.0)
+        )
+        tiles.withColumn("_z", cells.zorder_key(F.col("_zx"), F.col("_zy"))).sortWithinPartitions(
+            "_z"
+        ).drop("_zx", "_zy", "_z").write.mode("overwrite").parquet(f"{args.output}/tiles")
     print(json.dumps({"metrics": metrics.snapshot(), "version": state.info["version"]}))
 
 
