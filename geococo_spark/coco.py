@@ -74,6 +74,7 @@ class CocoState:
     sources: DataFrame
     info: dict = field(default_factory=dict)
     tiles: DataFrame | None = None  # tile payloads (bytes) from the last append
+    knn_assignments: DataFrame | None = None  # J5 fallback output (last append)
 
     @classmethod
     def create(

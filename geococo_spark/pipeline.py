@@ -153,6 +153,8 @@ def append_dataset(
     checkpoint_dir: str | None = None,
     broadcast_rows: int = 1_000_000,
     metrics: "EngineMetrics | None" = None,
+    knn_fallback: bool = False,
+    knn_rings: int = 2,
 ) -> CocoState:
     """Run the full annotate pipeline and return the appended state.
 
@@ -414,6 +416,31 @@ def append_dataset(
         "bbox",
         "iscrowd",
     )
+
+    # J5 — optional kNN fallback: labels that matched NO tile get their
+    # nearest tile assignment (north_star; no reference analog). Output
+    # lands in state.knn_assignments, not in the COCO tables — the
+    # reference emits nothing for unmatched labels, and exact parity wins.
+    if knn_fallback:
+        from geococo_spark.operators import knn as knn_ops
+
+        # pairs_small is already materialized (checkpoint) — don't
+        # recompute the join just to list matched label ids
+        matched_ids = pairs_small.filter(F.col("col_off").isNotNull()).select(
+            "label_idx"
+        ).distinct()
+        unmatched = labels.select(
+            F.col("label_idx").alias("label_id"), "geometry",
+            "label_minx", "label_miny", "label_maxx", "label_maxy",
+        ).join(
+            matched_ids.withColumnRenamed("label_idx", "label_id"), "label_id", "left_anti"
+        )
+        assigned = knn_ops.knn_assign(
+            unmatched, tiles, cell_size=cell_size, k=1, rings=knn_rings
+        ).select("label_id", "tile_id", "knn_distance")
+        if metrics is not None:
+            metrics.add("knn_fallbacks", assigned.count())
+        state.knn_assignments = assigned
 
     # O3 — append without mutating prior rows
     state.images = state.images.unionByName(

@@ -1,0 +1,47 @@
+"""J5 wired into the pipeline: unmatched labels get nearest-tile
+assignments in state.knn_assignments, with the knn_fallbacks metric."""
+
+import pytest
+
+from geococo_spark import pipeline
+from geococo_spark.checkpoint import EngineMetrics
+from geococo_spark.coco import CocoState
+from geococo_spark.sources import datagen
+
+
+class TestKnnFallbackInPipeline:
+    def test_unmatched_label_gets_nearest_tile(self, spark):
+        # 4 labels inside the raster + 1 outside every window but within
+        # the cell neighborhood of the grid edge
+        centers = [(10, -10), (30, -30), (50, -50), (70, -70), (420, -40)]
+        buffers = [1, 2, 3, 4, 2]
+        labels = datagen.labels_df(spark, centers=centers, buffers=buffers)
+        images = datagen.images_df(spark, 1)
+        state = CocoState.create(spark)
+        m = EngineMetrics(spark)
+        state = pipeline.append_dataset(
+            spark, state, images, labels, images_dir="d",
+            window_bounds=[(100, 100), (256, 256)],
+            id_attribute="category_id", name_attribute="class_names",
+            knn_fallback=True, knn_rings=2, metrics=m,
+        )
+        assigned = {r.label_id: (r.tile_id, r.knn_distance) for r in state.knn_assignments.collect()}
+        # the far label (label_idx 4 at x=420) is outside the raster-bound
+        # grid; it must appear in knn_assignments with a positive distance
+        assert 4 in assigned
+        tile_id, dist = assigned[4]
+        assert dist > 0
+        assert m.snapshot()["knn_fallbacks"] == len(assigned)
+        # matched labels are NOT in the fallback output
+        assert all(lid == 4 for lid in assigned)
+
+    def test_no_unmatched_no_assignments(self, spark):
+        labels = datagen.labels_df(spark)
+        images = datagen.images_df(spark, 1)
+        state = CocoState.create(spark)
+        state = pipeline.append_dataset(
+            spark, state, images, labels, images_dir="d",
+            id_attribute="category_id", name_attribute="class_names",
+            knn_fallback=True,
+        )
+        assert state.knn_assignments.count() == 0
