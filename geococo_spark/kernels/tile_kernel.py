@@ -56,22 +56,38 @@ def run_tile_kernel(
     arr = codec.decode_image(bytes(img["bytes"]))
     bump("bytes_decoded", len(img["bytes"]))
 
+    t = img["transform"]
+    a, c, e, f = float(t["a"]), float(t["c"]), float(t["e"]), float(t["f"])
+
     # split the cogrouped rows: "geom" rows (geometry set, window null)
     # carry each label's WKB exactly once; "pair" rows are thin
-    # (tile window + label_idx + category id) — see pipeline._pairs_small
+    # (tile window + label_idx + category id) — see pipeline._pairs_small.
+    # Each label is rasterized ONCE, on the image pixel grid, as a small
+    # bbox patch; per tile the patch is just sliced (tile grids are the
+    # image grid shifted by integer offsets, so masks are identical).
     geom_mask = pairs_pdf["geometry"].notna()
-    label_geoms: dict[int, tuple[str, list]] = {}
+    label_geoms: dict[int, tuple[str, np.ndarray, int, int]] = {}
     for li, g in zip(
         pairs_pdf.loc[geom_mask, "label_idx"].values,
         pairs_pdf.loc[geom_mask, "geometry"].values,
     ):
         gb = bytes(g)
-        label_geoms[int(li)] = (wkb.geom_type(gb), wkb.decode_rings(gb))
+        gtype = wkb.geom_type(gb)
+        rings = wkb.decode_rings(gb)
+        allpts = np.vstack(rings)
+        # image-space pixel bbox of the label (+halo for boundary cells)
+        pc0 = int(np.floor((allpts[:, 0].min() - c) / a)) - 2
+        pc1 = int(np.ceil((allpts[:, 0].max() - c) / a)) + 2
+        pr0 = int(np.floor((allpts[:, 1].max() - f) / e)) - 2
+        pr1 = int(np.ceil((allpts[:, 1].min() - f) / e)) + 2
+        patch_transform = (a, 0.0, c + a * pc0, 0.0, e, f + e * pr0)
+        patch = rasterize.rasterize_all_touched(
+            rings, patch_transform, (max(pr1 - pr0, 1), max(pc1 - pc0, 1))
+        )
+        label_geoms[int(li)] = (gtype, patch, pr0, pc0)
     pairs_pdf = pairs_pdf.loc[~geom_mask]
     if len(pairs_pdf) == 0:
         return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
-    t = img["transform"]
-    a, c, e, f = float(t["a"]), float(t["c"]), float(t["e"]), float(t["f"])
     nodata = img["nodata"]
     nodata_value = int(nodata) if (nodata is not None and not pd.isna(nodata) and nodata) else 0
     bands = int(img["bands"])
@@ -94,8 +110,6 @@ def run_tile_kernel(
         tile_name = f"{col_off}_{row_off}_{width}_{height}"
         tile_bytes = codec.encode_image(window_image, out_fmt)
 
-        # tile transform (window origin in world coords)
-        tile_transform = (a, 0.0, c + a * col_off, 0.0, e, f + e * row_off)
         # the written tile has width=shape[1], height=shape[2]
         # (coco_processing.py:136-141); mask grid is (rows=height, cols=width)
         tile_w = int(window_image.shape[1])
@@ -130,9 +144,17 @@ def run_tile_kernel(
         for p_label_idx, p_cat_id in zip(
             group["label_idx"].values, group["id"].values
         ):
-            gtype, rings = label_geoms[int(p_label_idx)]
-            # R1: all_touched rasterize on the tile grid
-            mask = rasterize.rasterize_all_touched(rings, tile_transform, (tile_h, tile_w))
+            gtype, patch, pr0, pc0 = label_geoms[int(p_label_idx)]
+            # R1: compose the per-label patch into tile space (pure slicing)
+            mask = np.zeros((tile_h, tile_w), dtype=bool)
+            r0 = max(pr0, row_off)
+            r1 = min(pr0 + patch.shape[0], row_off + tile_h)
+            c0 = max(pc0, col_off)
+            c1 = min(pc0 + patch.shape[1], col_off + tile_w)
+            if r1 > r0 and c1 > c0:
+                mask[r0 - row_off : r1 - row_off, c0 - col_off : c1 - col_off] = patch[
+                    r0 - pr0 : r1 - pr0, c0 - pc0 : c1 - pc0
+                ]
             if not mask.any():  # F3
                 bump("masks_empty", 1)
                 continue
