@@ -115,41 +115,60 @@ FROM tiles t JOIN labels l
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full GeoCOCO-equivalent pipeline on sf0.001 — labels
     synthesized from the customer table, placed on a synthetic 256x256
-    raster; returns the COCO annotations table (SURVEY.md §7.3)."""
-    import numpy as np
+    raster; returns the COCO annotations table (SURVEY.md §7.3).
 
-    from geococo_spark import pipeline, schemas
+    Array columns (``bbox``) are projected to scalar strings so the
+    driver's canonicalizer can sort/hash the frame (VERDICT r01 #1)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from geococo_spark import pipeline
     from geococo_spark.coco import CocoState
     from geococo_spark.geometry import wkb
     from geococo_spark.sources import datagen
 
-    cust = _t(spark, SF1, "customer").selectExpr(
-        "c_custkey",
-        "(c_custkey * 7919) % 246 + 5 AS px",
-        "(c_custkey * 104729) % 246 + 5 AS py",
-        "c_custkey % 4 + 1 AS s",
-        "CAST(c_custkey % 8 + 1 AS INT) AS category_id",
-    ).collect()
-    rows = []
-    for i, r in enumerate(cust):
-        cx, cy, s = float(r["px"]), -float(r["py"]), float(r["s"])
-        ring = wkb.buffer_point(cx, cy, s)
-        rows.append(
-            (
-                i,
-                bytearray(wkb.encode_polygon([ring])),
-                int(r["category_id"]),
-                f"cat_{r['category_id']}",
-                None,
-                datagen.CRS,
-                cx - s,
-                cy - s,
-                cx + s,
-                cy + s,
-                "Polygon",
-            )
+    # labels built DISTRIBUTED: WKB circles emitted from an Arrow-batched
+    # pandas UDF over the customer table (no driver-side loop — the old
+    # collect() pattern would not survive 100x label counts)
+    @pandas_udf(BinaryType())
+    def _circle_wkb(px, py, s):
+        return pd.Series(
+            [
+                wkb.encode_polygon([wkb.buffer_point(float(x), -float(y), float(b))])
+                for x, y, b in zip(px, py, s)
+            ]
         )
-    labels = spark.createDataFrame(rows, schemas.LABELS)
+
+    from geococo_spark.operators import ids as _ids
+
+    labels = (
+        _ids.assign_sequential_ids(
+            _t(spark, SF1, "customer").selectExpr(
+                "c_custkey",
+                "CAST((c_custkey * 7919) % 246 + 5 AS DOUBLE) AS px",
+                "CAST((c_custkey * 104729) % 246 + 5 AS DOUBLE) AS py",
+                "CAST(c_custkey % 4 + 1 AS DOUBLE) AS s",
+                "CAST(c_custkey % 8 + 1 AS INT) AS category_id",
+            ),
+            ["c_custkey"],
+            "label_idx",
+            offset=-1,  # 0-based like the reference's enumerate()
+        )
+        .select(
+            "label_idx",
+            _circle_wkb("px", "py", "s").alias("geometry"),
+            "category_id",
+            F.concat(F.lit("cat_"), F.col("category_id")).alias("class_names"),
+            F.lit(None).cast("string").alias("super_names"),
+            F.lit(datagen.CRS).alias("crs"),
+            (F.col("px") - F.col("s")).alias("label_minx"),
+            (-F.col("py") - F.col("s")).alias("label_miny"),
+            (F.col("px") + F.col("s")).alias("label_maxx"),
+            (-F.col("py") + F.col("s")).alias("label_maxy"),
+            F.lit("Polygon").alias("geom_type"),
+        )
+    )
     images = datagen.images_df(spark, 1)
     state = CocoState.create(spark, description="flagship", contributor="entry")
     state = pipeline.append_dataset(
@@ -165,7 +184,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return state.annotations.join(
         state.categories.withColumnRenamed("id", "category_id"), "category_id"
     ).select(
-        "id", "image_id", "category_id", "name", "area", "bbox", "iscrowd"
+        "id", "image_id", "category_id", "name", "area",
+        F.concat_ws(",", F.col("bbox").cast("array<string>")).alias("bbox"),
+        "iscrowd",
     ).orderBy("id")
 
 
@@ -484,17 +505,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_minhash_lsh(spark, sf_dir):
+        # portable=True: md5-based shingle hashing reproducible in the
+        # DuckDB oracle (same banding/join/verify plan as the fast path)
         docs = _t(spark, sf_dir, "documents")
-        return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
 
     def q_simhash(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
-        return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+        return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).withColumn(
+            "hamming", F.col("hamming").cast("int")
+        )
 
     def q_embedding_neardup(spark, sf_dir):
         embs = _t(spark, sf_dir, "embeddings")
-        dim = len(embs.select("embedding").first()[0])
-        return sim.embedding_near_duplicates(embs, dim=dim, threshold=0.42, n_planes=6, n_tables=10)
+        return sim.embedding_near_duplicates(
+            embs, dim=64, threshold=0.42, n_planes=6, n_tables=10
+        )
 
     def q_coco_pipeline(spark, sf_dir):
         return entry(spark)
@@ -537,6 +563,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
+
+# 60-bit md5-prefix hash — DuckDB side of geococo_spark.operators.dedup.
+# portable_hash60 (engine-portable integer hashing for LSH oracles)
+_PH = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+_M31 = (1 << 31) - 1
+_M61 = (1 << 61) - 1
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of dedup.simhash_pairs: md5-native token bits
+    (hex digits 1-15 → bits 0-59, digits 16-30 → bits 60-63), same
+    banding and hamming filter."""
+    bits_list = ", ".join(
+        (
+            f"(CASE WHEN list_sum(list_transform(xs1, x -> "
+            f"2*(CAST(x // {1 << j} AS BIGINT) & 1) - 1)) > 0 THEN 1 ELSE 0 END)"
+            if j < 60
+            else f"(CASE WHEN list_sum(list_transform(xs2, x -> "
+            f"2*(CAST(x // {1 << (j - 60)} AS BIGINT) & 1) - 1)) > 0 THEN 1 ELSE 0 END)"
+        )
+        for j in range(64)
+    )
+    nb = max_hamming + 1
+    width = 64 // nb
+    banded = " UNION ALL ".join(
+        "SELECT doc_id, bits, {i} AS band, {key} AS key FROM bits_t".format(
+            i=i, key=" + ".join(f"bits[{i * width + k + 1}] * {1 << k}" for k in range(width))
+        )
+        for i in range(nb)
+    )
+    ph1 = _PH.format(s="s")
+    ph2 = "CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(list_distinct(string_split_regex(trim(text), '\\s+')), t -> t <> '') AS tk
+  FROM documents),
+hs AS (SELECT doc_id,
+              list_transform(tk, s -> {ph1}) AS xs1,
+              list_transform(tk, s -> {ph2}) AS xs2
+       FROM toks),
+bits_t AS (SELECT doc_id, [{bits_list}] AS bits FROM hs),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.bits AS ba, b.bits AS bb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(len(list_filter(generate_series(1, 64), j -> ba[j] <> bb[j])) AS INTEGER) AS hamming
+FROM cand
+WHERE len(list_filter(generate_series(1, 64), j -> ba[j] <> bb[j])) <= {max_hamming}
+"""
+
+
+def _minhash_oracle_sql(
+    k: int = 3, num_perm: int = 64, bands: int = 16, threshold: float = 0.5, seed: int = 1
+) -> str:
+    """DuckDB replica of dedup.minhash_lsh_pairs(portable=True): same
+    shingles, same affine MinHash family (literal a/b), same band
+    equality (slice arrays), same exact-Jaccard verify."""
+    from geococo_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    sig_list = ", ".join(
+        f"coalesce(list_min(list_transform(xs, x -> "
+        f"({int(a[i])}*x + {int(b[i])}) % {_M61})), {_M61})"
+        for i in range(num_perm)
+    )
+    banded = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, [{sl}] AS key FROM sigs".format(
+            i=i,
+            sl=", ".join(f"sig[{i * rows_per_band + r + 1}]" for r in range(rows_per_band)),
+        )
+        for i in range(bands)
+    )
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    ph = _PH.format(s="g")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, greatest(len(t) - {k - 1}, 0)),
+                                           i -> {shingle})) AS s
+       FROM toks),
+hs AS (SELECT doc_id, s, len(s) AS n_sh,
+              list_transform(s, g -> {ph} % {_M31}) AS xs
+       FROM sh),
+sigs AS (SELECT doc_id, [{sig_list}] AS sig FROM hs),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ha.s, hb.s)) AS common, ha.n_sh AS n_a, hb.n_sh AS n_b
+  FROM cand c JOIN hs ha ON ha.doc_id = c.id_a JOIN hs hb ON hb.doc_id = c.id_b)
+SELECT id_a, id_b,
+       round(common / CAST(n_a + n_b - common AS DOUBLE), 6) AS jaccard
+FROM verified
+WHERE round(common / CAST(n_a + n_b - common AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def _embedding_neardup_oracle_sql(
+    dim: int = 64,
+    threshold: float = 0.42,
+    n_planes: int = 6,
+    n_tables: int = 10,
+    seed: int = 500,
+) -> str:
+    """DuckDB replica of similarity.embedding_near_duplicates: identical
+    integer hyperplanes (literals) over quantized vectors, same banded
+    candidate set, same rounded-cosine verify."""
+    from geococo_spark.operators.similarity import int_plane_matrix
+
+    tables = []
+    for t in range(n_tables):
+        planes = int_plane_matrix(dim, n_planes, seed + t)
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(qv, [{v}]) > 0 THEN {w} ELSE 0 END)".format(
+                v=", ".join(str(int(x)) for x in planes[:, j]), w=1 << j
+            )
+            for j in range(n_planes)
+        )
+        tables.append(f"SELECT vec_id, {t} AS t, {terms} AS b FROM q")
+    banded = " UNION ALL ".join(tables)
+    cos = (
+        "round(list_dot_product(va, vb) / "
+        "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+j AS (SELECT c.id_a, c.id_b, qa.qv AS va, qb.qv AS vb
+      FROM cand c JOIN q qa ON qa.vec_id = c.id_a JOIN q qb ON qb.vec_id = c.id_b)
+SELECT id_a, id_b, {cos} AS cos_sim
+FROM j
+WHERE {cos} >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -792,4 +962,11 @@ ranked AS (
   FROM scored)
 SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """,
+        "q_simhash": _simhash_oracle_sql(max_hamming=3),
+        "q_minhash_lsh": _minhash_oracle_sql(
+            k=3, num_perm=64, bands=16, threshold=0.5, seed=1
+        ),
+        "q_embedding_neardup": _embedding_neardup_oracle_sql(
+            dim=64, threshold=0.42, n_planes=6, n_tables=10, seed=500
+        ),
     }

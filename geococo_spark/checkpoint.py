@@ -34,6 +34,7 @@ class EngineMetrics:
         "masks_empty",
         "bytes_decoded",
         "knn_fallbacks",
+        "knn_unassigned",  # labels still unassigned after kNN ring escalation
         "kernel_ms",  # wall ms spent inside the tile kernel (all workers)
     ]
 

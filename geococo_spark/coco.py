@@ -259,14 +259,81 @@ class CocoState:
             )
         return out
 
+    def register_sources_df(
+        self, file_names: DataFrame, date_captured: datetime | None
+    ) -> DataFrame:
+        """Distributed add_source (J4/X3): no per-source driver rows.
+
+        ``file_names`` is a one-column DataFrame (``file_name``). Matched
+        names reuse their id (patch bump each, coco_models.py:44-46); new
+        names get ids continuing from the existing count in sorted-name
+        order (minor bump each, :48-53). Bumps are applied in sorted
+        file_name order via *counts* — a minor bump zeroes patch, so the
+        final version is (minor + n_new, patches-after-last-new) — and the
+        method returns the (file_name, id) mapping DataFrame. Only O(1)
+        scalars ever reach the driver.
+        """
+        from geococo_spark.operators import ids as ids_ops
+
+        existing = self.sources.select("file_name", F.col("id").alias("_src_id"))
+        incoming = file_names.select("file_name").distinct()
+        joined = incoming.join(F.broadcast(existing), "file_name", "left")
+        stats = joined.agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("_src_id").isNotNull().cast("int")).alias("n_matched"),
+            F.max(F.when(F.col("_src_id").isNull(), F.col("file_name"))).alias("max_new"),
+        ).first()
+        n_in = int(stats["n_in"])
+        n_matched = int(stats["n_matched"] or 0)
+        n_new = n_in - n_matched
+        if n_new:
+            # patch bumps that survive = matched names sorted after the
+            # last new name (every earlier patch is zeroed by a minor bump)
+            p_after = joined.filter(
+                F.col("_src_id").isNotNull() & (F.col("file_name") > F.lit(stats["max_new"]))
+            ).count()
+            v = self.info["version"]
+            for _ in range(n_new):
+                v = bump_version(v, "minor")
+            for _ in range(p_after):
+                v = bump_version(v, "patch")
+            self.info["version"] = v
+        else:
+            v = self.info["version"]
+            for _ in range(n_matched):
+                v = bump_version(v, "patch")
+            self.info["version"] = v
+        matched_map = joined.filter(F.col("_src_id").isNotNull()).select(
+            "file_name", F.col("_src_id").cast("long").alias("id")
+        )
+        if n_new:
+            n_existing = self.sources.count()
+            fresh = ids_ops.assign_sequential_ids(
+                joined.filter(F.col("_src_id").isNull()).select("file_name"),
+                ["file_name"],
+                "id",
+                offset=n_existing,
+            ).select("file_name", F.col("id").cast("long"))
+            self.sources = self.sources.unionByName(
+                fresh.select(
+                    "id", "file_name", F.lit(date_captured).cast("timestamp").alias("date_captured")
+                )
+            )
+            return matched_map.unionByName(fresh.select("file_name", "id"))
+        return matched_map
+
     def verify_used_dir(self, images_dir: str) -> None:
-        """Major bump when images_dir unseen (coco_models.py:145-148)."""
-        # dirs = the path prefix of each image file_name
-        dirs = {
-            r["d"]
-            for r in self.images.select(
-                F.regexp_extract("file_name", r"^(.*)/[^/]+$", 1).alias("d")
-            ).collect()
-        }
-        if images_dir.rstrip("/") not in dirs:
+        """Major bump when images_dir unseen (coco_models.py:145-148).
+
+        Aggregate existence check — never collects per-image rows (the
+        images table is tile-scale at 100 TB)."""
+        seen = self.images.agg(
+            F.max(
+                (
+                    F.regexp_extract("file_name", r"^(.*)/[^/]+$", 1)
+                    == F.lit(images_dir.rstrip("/"))
+                ).cast("int")
+            ).alias("seen")
+        ).first()["seen"]
+        if not seen:
             self.info["version"] = bump_version(self.info["version"], "major")

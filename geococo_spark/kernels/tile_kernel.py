@@ -75,11 +75,15 @@ def run_tile_kernel(
         gtype = wkb.geom_type(gb)
         rings = wkb.decode_rings(gb)
         allpts = np.vstack(rings)
-        # image-space pixel bbox of the label (+halo for boundary cells)
-        pc0 = int(np.floor((allpts[:, 0].min() - c) / a)) - 2
-        pc1 = int(np.ceil((allpts[:, 0].max() - c) / a)) + 2
-        pr0 = int(np.floor((allpts[:, 1].max() - f) / e)) - 2
-        pr1 = int(np.ceil((allpts[:, 1].min() - f) / e)) + 2
+        # image-space pixel bbox of the label (+halo for boundary cells).
+        # min/max taken on the *projections*, so either axis sign works
+        # (south-up e > 0 / west-positive a < 0 included — ADVICE r01)
+        pcols = (allpts[:, 0] - c) / a
+        prows = (allpts[:, 1] - f) / e
+        pc0 = int(np.floor(pcols.min())) - 2
+        pc1 = int(np.ceil(pcols.max())) + 2
+        pr0 = int(np.floor(prows.min())) - 2
+        pr1 = int(np.ceil(prows.max())) + 2
         patch_transform = (a, 0.0, c + a * pc0, 0.0, e, f + e * pr0)
         patch = rasterize.rasterize_all_touched(
             rings, patch_transform, (max(pr1 - pr0, 1), max(pc1 - pc0, 1))

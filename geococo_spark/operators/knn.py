@@ -52,14 +52,40 @@ def knn_assign(
     rings: int = 2,
     label_id: str = "label_id",
     tile_id: str = "tile_id",
+    escalate: bool = False,
+    max_rings: int = 64,
 ) -> DataFrame:
     """Assign each unmatched label its k nearest tiles (by geometry-to-box
     distance) among tiles in its ``rings``-deep cell neighborhood.
 
-    Labels with no tile in the neighborhood stay unassigned (caller can
-    re-run with larger ``rings``). Deterministic: ties break on tile_id.
+    With ``escalate=False``, labels with no tile in the neighborhood stay
+    unassigned. With ``escalate=True`` (VERDICT r01 #8) the still-
+    unassigned labels re-run with DOUBLED rings until every label is
+    assigned or ``max_rings`` is exceeded — O(log(max_rings)) bounded
+    passes, each over only the shrinking remainder, so the escalation
+    cost is driven by the (few) far-out labels, not the bulk.
+    Deterministic: ties break on tile_id.
     Returns label columns + tile_id + ``knn_distance`` + ``knn_rank``.
     """
+    if escalate:
+        outs = None
+        remaining = unmatched_labels
+        r = rings
+        while True:
+            out = knn_assign(
+                remaining, tiles, cell_size, k=k, rings=r,
+                label_id=label_id, tile_id=tile_id, escalate=False,
+            )
+            outs = out if outs is None else outs.unionByName(out)
+            r *= 2
+            if r > max_rings:
+                break
+            remaining = remaining.join(
+                out.select(label_id).distinct(), label_id, "left_anti"
+            )
+            if remaining.isEmpty():
+                break
+        return outs
     lbl = cells.centroid_cell(
         unmatched_labels, cell_size, "label_minx", "label_miny", "label_maxx", "label_maxy",
         out="_ccell",

@@ -150,6 +150,30 @@ def lsh_topk(
     )
 
 
+def int_plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Integer hyperplane matrix in [-1000, 1000] — shared by the Spark
+    kernel and the SQL oracle (embedded there as literals). With
+    quantized embeddings the sign test ``qv @ plane > 0`` is exact
+    integer arithmetic, identical in both engines."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-1000, 1001, size=(dim, n_planes)).astype(np.int64)
+
+
+def int_hyperplane_signature_udf(planes: np.ndarray):
+    """LSH signature over QUANTIZED embeddings (array<long> input):
+    one integer matmul per Arrow batch, sign bits packed into a long."""
+    n_planes = planes.shape[1]
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf(LongType())
+    def _sig(qv: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(e, dtype=np.int64) for e in qv])
+        bits = (mat @ planes) > 0
+        return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
+
+    return _sig
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     dim: int,
@@ -158,23 +182,33 @@ def embedding_near_duplicates(
     n_tables: int = 6,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    seed: int = 500,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup driver brief): LSH-bucketed
-    self-join + exact cosine filter; canonical (id_a < id_b) pairs."""
-    sigs = [hyperplane_signature_udf(dim, n_planes, seed=500 + t) for t in range(n_tables)]
+    self-join + exact cosine filter; canonical (id_a < id_b) pairs.
+
+    Scale shape (VERDICT r01 #6): the banded self-join carries *ids only*
+    — (vid, t, b) rows — and embeddings re-attach to the (small)
+    candidate set afterwards, mirroring the MinHash design. Signatures
+    use integer planes on quantized vectors, so the candidate set is
+    reproducible by the ANSI-SQL oracle.
+    """
+    planes = [int_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
+    sigs = [int_hyperplane_signature_udf(p) for p in planes]
     base = vectors.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
-    tagged = base.withColumn(
-        "tb",
+    qcol = _qvec(F.col("emb"))
+    tagged = base.select(
+        "vid",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(t).alias("t"), sigs[t](F.col("emb")).alias("b"))
+                    F.struct(F.lit(t).alias("t"), sigs[t](qcol).alias("b"))
                     for t in range(n_tables)
                 ]
             )
-        ),
-    ).select("vid", "emb", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    cand = (
+        ).alias("tb"),
+    ).select("vid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    cand_ids = (
         tagged.alias("a")
         .join(
             tagged.alias("b"),
@@ -182,14 +216,12 @@ def embedding_near_duplicates(
             & (F.col("a.b") == F.col("b.b"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.col("a.emb").alias("emb_a"),
-            F.col("b.emb").alias("emb_b"),
-        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand_ids.join(
+        base.select(F.col("vid").alias("id_a"), F.col("emb").alias("emb_a")), "id_a"
+    ).join(base.select(F.col("vid").alias("id_b"), F.col("emb").alias("emb_b")), "id_b")
     cos = F.round(
         _dot(_qvec(F.col("emb_a")), _qvec(F.col("emb_b")))
         / (

@@ -176,9 +176,20 @@ def append_dataset(
         F.max("label_maxy").alias("maxy"),
         F.expr(f"percentile(label_maxx - label_minx, {quantile})").alias("qw"),
         F.expr(f"percentile(label_maxy - label_miny, {quantile})").alias("qh"),
-        F.first("crs").alias("crs"),
+        # F5 guard must be deterministic: count the distinct CRS values
+        # instead of sampling one with first() (ADVICE r01)
+        F.countDistinct("crs").alias("n_crs"),
+        F.min("crs").alias("crs"),
+        # order-independent content digest for the checkpoint fingerprint
+        # (label_idx is unique per row, so xor cannot self-cancel)
+        F.expr(
+            "bit_xor(xxhash64(label_idx, geometry, label_minx, label_miny, "
+            "label_maxx, label_maxy))"
+        ).alias("label_digest"),
     ).first()
     _raise_on_violations(agg, id_attribute)
+    if int(agg["n_crs"] or 0) > 1:
+        raise ValueError("labels table carries more than one CRS, exiting..")
     n_labels = int(agg["n"])
     vminx, vminy, vmaxx, vmaxy = (float(agg[k]) for k in ("minx", "miny", "maxx", "maxy"))
 
@@ -199,41 +210,49 @@ def append_dataset(
         labels, state.categories, id_col=id_attribute, name_col=name_attribute
     )
 
-    # ⑤-⑨ ONE images-metadata collect feeds the CRS guard (F5), schema
-    # estimate res (T4), extent-overlap guard (A3) and source
-    # registration (J4/X3). Source ids are dimension-scale (# distinct
-    # rasters), so the collect is inherent to the reference's semantics.
-    meta = images.select(
-        "image_id", "crs", "w", "h",
-        "transform.a", "transform.c", "transform.e", "transform.f",
-    ).orderBy("image_id").collect()
-    if not meta:
+    # ⑤-⑨ ONE images-metadata AGGREGATE feeds the CRS guard (F5), schema
+    # estimate res (T4), extent-overlap guard (A3) and the checkpoint
+    # digest. Nothing per-image reaches the driver — at 10^12 rasters the
+    # old collect() was the scale-killer flagged in VERDICT r01 #3.
+    t = "transform"
+    _col0 = (F.lit(vminx) - F.col(f"{t}.c")) / F.col(f"{t}.a")
+    _row0 = (F.lit(vmaxy) - F.col(f"{t}.f")) / F.col(f"{t}.e")
+    _col1 = _col0 + F.lit(vmaxx - vminx) / F.col(f"{t}.a")
+    _row1 = _row0 + F.lit(vminy - vmaxy) / F.col(f"{t}.e")
+    _overlap = (
+        F.least(F.col("w").cast("double"), _col1) > F.greatest(F.lit(0.0), _col0)
+    ) & (F.least(F.col("h").cast("double"), _row1) > F.greatest(F.lit(0.0), _row0))
+    img_agg = images.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.countDistinct("crs").alias("n_crs"),
+        F.min("crs").alias("crs"),
+        # reference uses the FIRST raster's resolution (by image order)
+        F.expr(f"min_by(abs({t}.a), image_id)").alias("res_x"),
+        F.expr(f"min_by(abs({t}.e), image_id)").alias("res_y"),
+        F.max(_overlap.cast("int")).alias("any_overlap"),
+        F.min("image_id").alias("min_id"),
+        F.max("image_id").alias("max_id"),
+        F.expr("bit_xor(xxhash64(image_id, phash, w, h))").alias("img_digest"),
+    ).first()
+    if int(img_agg["n_images"]) == 0:
         raise ValueError("images table is empty")
-    crs_vals = {r["crs"] for r in meta}
-    if agg["crs"] is not None and crs_vals - {agg["crs"]}:
+    if agg["crs"] is not None and (
+        int(img_agg["n_crs"]) > 1 or img_agg["crs"] != agg["crs"]
+    ):
         raise ValueError("CRS of input raster and labels don't match, exiting..")
-    res = (abs(float(meta[0]["a"])), abs(float(meta[0]["e"])))
+    res = (float(img_agg["res_x"]), float(img_agg["res_y"]))
     schema = grid.estimate_schema(float(agg["qw"]), float(agg["qh"]), res, window_bounds)
-    # A3 overlap guard, evaluated driver-side on the collected metadata
-    # (per-image parent windows stay column expressions below)
-    def _overlaps(r) -> bool:
-        col0 = (vminx - r["c"]) / r["a"]
-        row0 = (vmaxy - r["f"]) / r["e"]
-        col1 = col0 + (vmaxx - vminx) / r["a"]
-        row1 = row0 + (vminy - vmaxy) / r["e"]
-        return min(r["w"], col1) > max(0.0, col0) and min(r["h"], row1) > max(0.0, row0)
-
-    if not any(_overlaps(r) for r in meta):
+    if not img_agg["any_overlap"]:
         raise ValueError("Extent of input raster and vector don't overlap")
 
-    img_ids = [r["image_id"] for r in meta]
-    source_map = state.register_sources(img_ids, date_captured)
-    state.verify_used_dir(images_dir)
+    # J4/X3 — distributed source registration: (file_name -> source_id)
+    # mapping DataFrame; only O(1) scalars hit the driver (VERDICT r01 #3)
     src_df = F.broadcast(
-        spark.createDataFrame(
-            [(k, v) for k, v in source_map.items()], ["image_key", "source_id"]
-        )
+        state.register_sources_df(
+            images.select(F.col("image_id").alias("file_name")), date_captured
+        ).select(F.col("file_name").alias("image_key"), F.col("id").alias("source_id"))
     )
+    state.verify_used_dir(images_dir)
 
     # A3 — per-image parent window = raster window ∩ label-extent window
     t = "transform"
@@ -338,9 +357,14 @@ def append_dataset(
             str(x)
             for x in (
                 n_labels,
-                len(img_ids),
-                img_ids[0] if img_ids else "",
-                img_ids[-1] if img_ids else "",
+                int(img_agg["n_images"]),
+                img_agg["min_id"],
+                img_agg["max_id"],
+                # content digests: same row counts with different label
+                # geometry / image pixels must MISS the checkpoint
+                # (ADVICE r01 — stale-resume produced wrong COCO output)
+                int(agg["label_digest"] or 0),
+                int(img_agg["img_digest"] or 0),
                 schema.width_window, schema.height_window,
                 schema.width_overlap, schema.height_overlap,
                 quantile, images_dir, out_fmt,
@@ -436,10 +460,13 @@ def append_dataset(
             matched_ids.withColumnRenamed("label_idx", "label_id"), "label_id", "left_anti"
         )
         assigned = knn_ops.knn_assign(
-            unmatched, tiles, cell_size=cell_size, k=1, rings=knn_rings
+            unmatched, tiles, cell_size=cell_size, k=1, rings=knn_rings, escalate=True
         ).select("label_id", "tile_id", "knn_distance")
         if metrics is not None:
-            metrics.add("knn_fallbacks", assigned.count())
+            n_assigned = assigned.select("label_id").distinct().count()
+            metrics.add("knn_fallbacks", n_assigned)
+            # residual labels still unassigned after ring escalation
+            metrics.add("knn_unassigned", unmatched.count() - n_assigned)
         state.knn_assignments = assigned
 
     # O3 — append without mutating prior rows

@@ -72,6 +72,33 @@ class TestPipelineResume:
         assert os.path.getmtime(os.path.join(ckdir, "kernel_out", "manifest.json")) == mtime1
         assert m2.snapshot()["annotations_emitted"] == 0
 
+    def test_content_change_busts_checkpoint(self, spark, tmp_path):
+        """Same label row count / image ids but DIFFERENT geometry must
+        miss the fingerprint and recompute (ADVICE r01: the count-only
+        fingerprint silently reused stale kernel output)."""
+        images = datagen.images_df(spark, 1)
+        ckdir = str(tmp_path / "cck")
+
+        def run(buffers):
+            state = CocoState.create(spark)
+            m = EngineMetrics(spark)
+            out = pipeline.append_dataset(
+                spark, state, images, datagen.labels_df(spark, buffers=buffers),
+                images_dir="d", id_attribute="category_id",
+                name_attribute="class_names", checkpoint_dir=ckdir, metrics=m,
+            )
+            return out, m
+
+        out1, m1 = run([1, 2, 3, 4, 1])
+        areas1 = sorted(r["area"] for r in out1.annotations.collect())
+        assert m1.snapshot()["annotations_emitted"] == 5
+        # same count, same centers, bigger buffers -> larger masks
+        out2, m2 = run([2, 3, 4, 5, 2])
+        areas2 = sorted(r["area"] for r in out2.annotations.collect())
+        assert m2.snapshot()["annotations_emitted"] == 5, "stale checkpoint reused"
+        assert areas2 != areas1
+        assert max(areas2) > max(areas1)
+
     def test_manifest_metrics_flushed(self, spark, tmp_path):
         images = datagen.images_df(spark, 1)
         labels = datagen.labels_df(spark)

@@ -35,6 +35,33 @@ class TestKnnFallbackInPipeline:
         # matched labels are NOT in the fallback output
         assert all(lid == 4 for lid in assigned)
 
+    def test_far_label_assigned_via_ring_escalation(self, spark):
+        """A label FAR outside every tile's rings=2 cell neighborhood
+        still gets an assignment: escalation doubles the search rings
+        until it lands (VERDICT r01 #8), and the residual-unassigned
+        metric stays 0."""
+        # cell_size ~ window width (100); label at x=2000 is ~16 cells
+        # away from the last tile column — needs rings >= 16
+        centers = [(10, -10), (30, -30), (50, -50), (70, -70), (2000, -40)]
+        buffers = [1, 2, 3, 4, 2]
+        labels = datagen.labels_df(spark, centers=centers, buffers=buffers)
+        images = datagen.images_df(spark, 1)
+        state = CocoState.create(spark)
+        m = EngineMetrics(spark)
+        state = pipeline.append_dataset(
+            spark, state, images, labels, images_dir="d",
+            window_bounds=[(100, 100), (256, 256)],
+            id_attribute="category_id", name_attribute="class_names",
+            knn_fallback=True, knn_rings=2, metrics=m,
+        )
+        assigned = {
+            r.label_id: (r.tile_id, r.knn_distance) for r in state.knn_assignments.collect()
+        }
+        assert 4 in assigned, "far label not assigned — escalation regressed"
+        assert assigned[4][1] > 1500  # distance ~ 2000 - 256 - buffer
+        assert m.snapshot()["knn_fallbacks"] == 1
+        assert m.snapshot()["knn_unassigned"] == 0
+
     def test_no_unmatched_no_assignments(self, spark):
         labels = datagen.labels_df(spark)
         images = datagen.images_df(spark, 1)

@@ -114,6 +114,22 @@ class TestAppendDataset:
         with pytest.raises(ValueError, match="don't overlap"):
             pipeline.append_dataset(spark, state, images, labels)
 
+    def test_mixed_label_crs_raises_deterministically(self, spark):
+        """F5 guard: a labels table with >1 distinct CRS must always
+        raise (ADVICE r01: first('crs') made this nondeterministic)."""
+        state = CocoState.create(spark)
+        images = datagen.images_df(spark, 1)
+        rows = datagen.label_rows()
+        # flip one label's CRS
+        rows[2] = rows[2][:5] + ("EPSG:4326",) + rows[2][6:]
+        labels = spark.createDataFrame(rows, datagen.schemas.LABELS)
+        for _ in range(3):  # would flake if order-dependent
+            with pytest.raises(ValueError, match="CRS"):
+                pipeline.append_dataset(
+                    spark, state, images, labels,
+                    id_attribute="category_id", name_attribute="class_names",
+                )
+
     def test_version_bumped(self, appended):
         # create 0.0.0 -> new dir (major) + new source (minor) applied;
         # reference order: add_source (minor) then verify_used_dir (major)
