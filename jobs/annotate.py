@@ -66,10 +66,12 @@ def main(argv: list[str] | None = None) -> None:
         checkpoint_dir=args.checkpoint,
         metrics=metrics,
     )
-    state.images.write.mode("overwrite").parquet(f"{args.output}/coco_images")
-    state.annotations.write.mode("overwrite").parquet(f"{args.output}/coco_annotations")
-    state.categories.write.mode("overwrite").parquet(f"{args.output}/coco_categories")
-    state.sources.write.mode("overwrite").parquet(f"{args.output}/coco_sources")
+    from geococo_spark.sinks import write_table
+
+    write_table(state.images, f"{args.output}/coco_images")
+    write_table(state.annotations, f"{args.output}/coco_annotations")
+    write_table(state.categories, f"{args.output}/coco_categories")
+    write_table(state.sources, f"{args.output}/coco_sources")
     if state.tiles is not None:
         # Z-order the tile payload layout: neighboring tiles land in the
         # same files, so spatial range reads prune (operators/cells.py)
