@@ -80,7 +80,9 @@ def bench_pipeline(spark, n_images: int, stage_dir: str | None = None) -> tuple[
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "32"))
+    # 128 images ≈ 250k annotations: large enough that steady-state
+    # throughput (not session fixed costs) dominates the headline metric
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "128"))
     spark = _build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 

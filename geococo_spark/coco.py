@@ -75,6 +75,19 @@ class CocoState:
     info: dict = field(default_factory=dict)
     tiles: DataFrame | None = None  # tile payloads (bytes) from the last append
     knn_assignments: DataFrame | None = None  # J5 fallback output (last append)
+    # known row counts ("images"/"annotations"/"sources") maintained where
+    # they are cheap to know exactly (create/load/register); a missing key
+    # falls back to a count() job. Shaves serial driver jobs off the
+    # append prologue — the counts of EMPTY tables were costing one
+    # scheduler round-trip each.
+    cached_counts: dict = field(default_factory=dict)
+
+    def _known_count(self, table: str, df: DataFrame) -> int:
+        n = self.cached_counts.get(table)
+        if n is None:
+            n = df.count()
+            self.cached_counts[table] = n
+        return n
 
     @classmethod
     def create(
@@ -98,16 +111,17 @@ class CocoState:
                 "contributor": contributor,
                 "date_created": date_created.isoformat() if date_created else None,
             },
+            cached_counts={"images": 0, "annotations": 0, "sources": 0},
         )
 
     def next_image_id(self) -> int:
-        return self.images.count() + 1
+        return self._known_count("images", self.images) + 1
 
     def next_annotation_id(self) -> int:
-        return self.annotations.count() + 1
+        return self._known_count("annotations", self.annotations) + 1
 
     def next_source_id(self) -> int:
-        return self.sources.count()
+        return self._known_count("sources", self.sources)
 
     # ---------- JSON sink/source (S6/S4) ----------
 
@@ -207,7 +221,14 @@ class CocoState:
             [(r["id"], r["file_name"], ts(r["date_captured"])) for r in doc.get("sources", [])],
             schemas.COCO_SOURCES,
         )
-        return cls(images, annotations, categories, sources, doc.get("info", {}))
+        return cls(
+            images, annotations, categories, sources, doc.get("info", {}),
+            cached_counts={
+                "images": len(doc.get("images", [])),
+                "annotations": len(doc.get("annotations", [])),
+                "sources": len(doc.get("sources", [])),
+            },
+        )
 
     # ---------- sources / version bumps (J4/X3) ----------
 
@@ -260,7 +281,10 @@ class CocoState:
         return out
 
     def register_sources_df(
-        self, file_names: DataFrame, date_captured: datetime | None
+        self,
+        file_names: DataFrame,
+        date_captured: datetime | None,
+        incoming_count: int | None = None,
     ) -> DataFrame:
         """Distributed add_source (J4/X3): no per-source driver rows.
 
@@ -274,6 +298,28 @@ class CocoState:
         scalars ever reach the driver.
         """
         from geococo_spark.operators import ids as ids_ops
+
+        n_existing_known = self.cached_counts.get("sources")
+        if n_existing_known == 0 and incoming_count is not None:
+            # fresh-state fast path (common first append): no existence
+            # join, no stats job — everything derived from the known
+            # incoming count; the id window stays lazy in the main DAG
+            incoming = file_names.select("file_name").distinct()
+            v = self.info["version"]
+            for _ in range(incoming_count):
+                v = bump_version(v, "minor")
+            self.info["version"] = v
+            mapping = ids_ops.assign_sequential_ids(
+                incoming, ["file_name"], "id", n_rows=incoming_count
+            ).select("file_name", F.col("id").cast("long"))
+            self.sources = self.sources.unionByName(
+                mapping.select(
+                    "id", "file_name",
+                    F.lit(date_captured).cast("timestamp").alias("date_captured"),
+                )
+            )
+            self.cached_counts["sources"] = incoming_count
+            return mapping
 
         existing = self.sources.select("file_name", F.col("id").alias("_src_id"))
         incoming = file_names.select("file_name").distinct()
@@ -307,18 +353,20 @@ class CocoState:
             "file_name", F.col("_src_id").cast("long").alias("id")
         )
         if n_new:
-            n_existing = self.sources.count()
+            n_existing = self._known_count("sources", self.sources)
             fresh = ids_ops.assign_sequential_ids(
                 joined.filter(F.col("_src_id").isNull()).select("file_name"),
                 ["file_name"],
                 "id",
                 offset=n_existing,
+                n_rows=n_new,
             ).select("file_name", F.col("id").cast("long"))
             self.sources = self.sources.unionByName(
                 fresh.select(
                     "id", "file_name", F.lit(date_captured).cast("timestamp").alias("date_captured")
                 )
             )
+            self.cached_counts["sources"] = n_existing + n_new
             return matched_map.unionByName(fresh.select("file_name", "id"))
         return matched_map
 
@@ -327,6 +375,10 @@ class CocoState:
 
         Aggregate existence check — never collects per-image rows (the
         images table is tile-scale at 100 TB)."""
+        if self.cached_counts.get("images") == 0:
+            # empty dataset: no dir has ever been used (skip the job)
+            self.info["version"] = bump_version(self.info["version"], "major")
+            return
         seen = self.images.agg(
             F.max(
                 (

@@ -45,7 +45,7 @@ def _pip_even_odd(px: np.ndarray, py: np.ndarray, rings_px: list[np.ndarray]) ->
         x1 = ring[1:, 0][:, None]
         y1 = ring[1:, 1][:, None]
         cond = (y0 > py) != (y1 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
         inside ^= (np.count_nonzero(cond & (px < xint), axis=0) % 2).astype(bool)
     return inside
@@ -102,6 +102,127 @@ def _mark_edge_supercover(mask: np.ndarray, x0: float, y0: float, x1: float, y1:
                 mask[r, cc] = True
 
 
+def _scanline_fill(mask: np.ndarray, rings_px: list[np.ndarray], minr: int, maxr: int) -> None:
+    """Even-odd interior fill via scanline crossings — identical cells to
+    the pixel-center PIP test (kept as the property-test oracle) but
+    O(edges x rows) instead of O(edges x rows x cols): the all-pairs
+    broadcast in ``_pip_even_odd`` moved ~300KB per label through memory,
+    which saturated shared cache/DRAM under 32-way execution.
+
+    A center (c+0.5, r+0.5) is inside iff the count of edge crossings
+    strictly right of it is odd; with the row's crossings sorted that is
+    exactly the spans [xs[2k], xs[2k+1]) (closed rings cross any
+    horizontal line an even number of times under the strict-> rule).
+    """
+    nrows, ncols = mask.shape
+    rows = np.arange(minr, maxr + 1)
+    if rows.size == 0 or not rings_px:
+        return
+    py = rows + 0.5
+    e0 = np.concatenate([r[:-1] for r in rings_px])
+    e1 = np.concatenate([r[1:] for r in rings_px])
+    y0 = e0[:, 1][:, None]
+    y1 = e1[:, 1][:, None]
+    x0 = e0[:, 0][:, None]
+    x1 = e1[:, 0][:, None]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    eidx, ridx = np.nonzero(cond)
+    if eidx.size == 0:
+        return
+    xs = xint[eidx, ridx]
+    order = np.lexsort((xs, ridx))
+    ridx = ridx[order]
+    xs = xs[order]
+    gidx = np.arange(len(ridx))
+    row_change = np.empty(len(ridx), dtype=bool)
+    row_change[0] = True
+    row_change[1:] = ridx[1:] != ridx[:-1]
+    row_start = np.maximum.accumulate(np.where(row_change, gidx, 0))
+    is_start = ((gidx - row_start) % 2) == 0
+    xstart = xs[is_start]
+    xend = xs[~is_start]
+    rr = ridx[is_start] + minr
+    c0 = np.maximum(np.ceil(xstart - 0.5).astype(np.int64), 0)
+    c1 = np.minimum(np.ceil(xend - 0.5).astype(np.int64) - 1, ncols - 1)
+    counts = np.maximum(c1 - c0 + 1, 0)
+    sidx, cols = _expand_ranges(c0, counts)
+    if sidx.size:
+        mask.flat[rr[sidx] * ncols + cols] = True
+
+
+def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, counts) -> (parent_index, start+offset) flat expansion."""
+    total = int(counts.sum())
+    parent = np.repeat(np.arange(len(counts)), counts)
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    return parent, starts[parent] + offs
+
+
+def _supercover_mark_all(mask: np.ndarray, rings_px: list[np.ndarray]) -> None:
+    """Vectorized boundary supercover: marks every cell any ring edge
+    passes through, identical semantics to the scalar
+    :func:`_mark_edge_supercover` (kept as the equivalence oracle) but
+    one numpy pass over ALL edges — the per-edge Python loop was ~35% of
+    the tile kernel's core-seconds and, being interpreter-bound, inflated
+    worst under 32-way core contention.
+    """
+    nrows, ncols = mask.shape
+    e0 = np.concatenate([r[:-1] for r in rings_px])
+    e1 = np.concatenate([r[1:] for r in rings_px])
+    x0, y0 = e0[:, 0], e0[:, 1]
+    x1, y1 = e1[:, 0], e1[:, 1]
+    ylo = np.minimum(y0, y1)
+    yhi = np.maximum(y0, y1)
+    horiz_grid = (ylo == yhi) & (ylo == np.floor(ylo))
+    r_lo = np.floor(ylo).astype(np.int64)
+    r_hi = np.floor(yhi).astype(np.int64)
+    r_hi = np.where((yhi == r_hi) & (r_hi > r_lo), r_hi - 1, r_hi)
+    # row range per edge: horizontal-on-gridline edges touch the two
+    # adjacent rows (unclamped here; clipped after expansion like the
+    # scalar loop's in-range check); others use the clamped band range
+    starts = np.where(horiz_grid, r_lo - 1, np.maximum(r_lo, 0))
+    ends = np.where(horiz_grid, r_lo, np.minimum(r_hi, nrows - 1))
+    counts = np.maximum(ends - starts + 1, 0)
+    eidx, rows = _expand_ranges(starts, counts)
+    inr = (rows >= 0) & (rows < nrows)
+    eidx, rows = eidx[inr], rows[inr]
+    if eidx.size == 0:
+        return
+
+    ex0, ey0 = x0[eidx], y0[eidx]
+    dx = (x1 - x0)[eidx]
+    dy = (y1 - y0)[eidx]
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        t0 = (rows - ey0) / dy
+        t1 = (rows + 1 - ey0) / dy
+    tlo = np.maximum(np.minimum(t0, t1), 0.0)
+    thi = np.minimum(np.maximum(t0, t1), 1.0)
+    flat_dy = dy == 0
+    keep = flat_dy | (thi >= tlo)
+    xa = np.where(flat_dy, ex0, ex0 + tlo * dx)
+    xb = np.where(flat_dy, ex0 + dx, ex0 + thi * dx)
+    rows, xa, xb = rows[keep], xa[keep], xb[keep]
+    if rows.size == 0:
+        return
+
+    clo = np.minimum(xa, xb)
+    chi = np.maximum(xa, xb)
+    c_lo = np.floor(clo).astype(np.int64)
+    c_hi = np.floor(chi).astype(np.int64)
+    c_hi = np.where((chi == c_hi) & (c_hi > c_lo), c_hi - 1, c_hi)
+    vert_grid = (clo == chi) & (clo == np.floor(clo))
+    cstarts = np.where(vert_grid, c_lo - 1, np.maximum(c_lo, 0))
+    cends = np.where(vert_grid, c_lo, np.minimum(c_hi, ncols - 1))
+    ccounts = np.maximum(cends - cstarts + 1, 0)
+    ridx, cols = _expand_ranges(cstarts, ccounts)
+    inc = (cols >= 0) & (cols < ncols)
+    ridx, cols = ridx[inc], cols[inc]
+    if ridx.size:
+        mask.flat[rows[ridx] * ncols + cols] = True
+
+
 def rasterize_all_touched(
     rings: list[np.ndarray], transform: Affine, out_shape: tuple[int, int]
 ) -> np.ndarray:
@@ -130,18 +251,13 @@ def rasterize_all_touched(
         return mask
 
     # pass 1: interior fill — pixel centers inside the polygon
-    cols = np.arange(minc, maxc + 1)
-    rows = np.arange(minr, maxr + 1)
-    cgrid, rgrid = np.meshgrid(cols + 0.5, rows + 0.5)
-    inside = _pip_even_odd(cgrid.ravel(), rgrid.ravel(), rings_px).reshape(rgrid.shape)
-    mask[minr : maxr + 1, minc : maxc + 1] |= inside
+    # (vectorized scanline; _pip_even_odd kept as the equivalence oracle)
+    _scanline_fill(mask, rings_px, minr, maxr)
 
     # pass 2: boundary supercover — every cell an edge passes through
-    for ring in rings_px:
-        for i in range(len(ring) - 1):
-            _mark_edge_supercover(
-                mask, float(ring[i, 0]), float(ring[i, 1]), float(ring[i + 1, 0]), float(ring[i + 1, 1])
-            )
+    # (vectorized over all edges; _mark_edge_supercover is the scalar
+    # reference implementation, kept as the property-test oracle)
+    _supercover_mark_all(mask, rings_px)
     return mask
 
 

@@ -72,6 +72,39 @@ def string_to_counts(s: bytes) -> np.ndarray:
     return np.asarray(counts, dtype=np.int64)
 
 
+def indices_to_counts(idx: np.ndarray, total: int) -> np.ndarray:
+    """RLE counts from SORTED flat (column-major) indices of set pixels.
+
+    Equivalent to ``mask_to_counts`` on the dense mask but O(#set pixels)
+    — the tile kernel uses it to encode a small patch embedded in a large
+    tile without materializing the tile-sized mask (377k tiny masks per
+    bench run made the dense path an allocation storm).
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.size == 0:
+        return np.array([total], dtype=np.int64)
+    brk = np.nonzero(np.diff(idx) > 1)[0]
+    starts = np.concatenate([idx[:1], idx[brk + 1]])
+    ends = np.concatenate([idx[brk] + 1, idx[-1:] + 1])
+    n = len(starts)
+    trailing = total - int(ends[-1])
+    counts = np.empty(2 * n + (1 if trailing > 0 else 0), dtype=np.int64)
+    counts[0] = starts[0]
+    counts[1::2] = ends - starts
+    counts[2::2][: n - 1] = starts[1:] - ends[:-1]
+    if trailing > 0:
+        counts[-1] = trailing
+    return counts
+
+
+def encode_from_indices(idx: np.ndarray, h: int, w: int) -> dict:
+    """Sorted column-major set-pixel indices -> same dict as :func:`encode`."""
+    return {
+        "size": [int(h), int(w)],
+        "counts": counts_to_string(indices_to_counts(idx, h * w)),
+    }
+
+
 def encode(mask: np.ndarray) -> dict:
     """2-D bool mask -> {"size": [h, w], "counts": bytes}.
 

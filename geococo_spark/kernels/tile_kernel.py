@@ -61,7 +61,7 @@ def run_tile_kernel(
 
     # split the cogrouped rows: "geom" rows (geometry set, window null)
     # carry each label's WKB exactly once; "pair" rows are thin
-    # (tile window + label_idx + category id) — see pipeline._pairs_small.
+    # (tile window + label_idx + category id) — see pipeline._with_geom_rows.
     # Each label is rasterized ONCE, on the image pixel grid, as a small
     # bbox patch; per tile the patch is just sliced (tile grids are the
     # image grid shifted by integer offsets, so masks are identical).
@@ -144,26 +144,41 @@ def run_tile_kernel(
         )
 
         # direct array iteration — iterrows() builds a Series per row,
-        # which dominates at thousands of pairs per tile
+        # which dominates at thousands of pairs per tile. The tile-sized
+        # mask is never materialized: RLE/bbox/area come straight from
+        # the patch slice's set-pixel indices (O(label area), not
+        # O(tile area) — the dense path was an allocation storm at 377k
+        # annotations per bench run).
         for p_label_idx, p_cat_id in zip(
             group["label_idx"].values, group["id"].values
         ):
             gtype, patch, pr0, pc0 = label_geoms[int(p_label_idx)]
-            # R1: compose the per-label patch into tile space (pure slicing)
-            mask = np.zeros((tile_h, tile_w), dtype=bool)
+            # R1: intersect the per-label patch with the tile window
             r0 = max(pr0, row_off)
             r1 = min(pr0 + patch.shape[0], row_off + tile_h)
             c0 = max(pc0, col_off)
             c1 = min(pc0 + patch.shape[1], col_off + tile_w)
-            if r1 > r0 and c1 > c0:
-                mask[r0 - row_off : r1 - row_off, c0 - col_off : c1 - col_off] = patch[
-                    r0 - pr0 : r1 - pr0, c0 - pc0 : c1 - pc0
-                ]
-            if not mask.any():  # F3
+            if r1 <= r0 or c1 <= c0:  # F3 (no pixel overlap at all)
+                bump("masks_empty", 1)
+                continue
+            sub = patch[r0 - pr0 : r1 - pr0, c0 - pc0 : c1 - pc0]
+            # column-major order within the tile: nonzero of the
+            # transpose yields (col, row) pairs sorted by (col, row)
+            scols, srows = np.nonzero(sub.T)
+            if scols.size == 0:  # F3 (bbox overlapped, mask empty)
                 bump("masks_empty", 1)
                 continue
             bump("annotations_emitted", 1)
-            enc = rle.encode(mask)  # R5
+            tile_r0 = r0 - row_off
+            tile_c0 = c0 - col_off
+            flat_idx = (tile_c0 + scols).astype(np.int64) * tile_h + (tile_r0 + srows)
+            enc = rle.encode_from_indices(flat_idx, tile_h, tile_w)  # R5
+            bbox = [  # R6 — cv2.boundingRect [x, y, w, h] semantics
+                int(tile_c0 + scols[0]),
+                int(tile_r0 + srows.min()),
+                int(scols[-1] - scols[0] + 1),
+                int(srows.max() - srows.min() + 1),
+            ]
             out.append(
                 {
                     "row_type": "ann",
@@ -181,8 +196,8 @@ def run_tile_kernel(
                     "category_id": int(p_cat_id),
                     "rle_size": enc["size"],
                     "rle_counts": enc["counts"],
-                    "area": float(mask.sum()),  # A4
-                    "bbox": rasterize.bounding_rect(mask),  # R6
+                    "area": float(scols.size),  # A4
+                    "bbox": bbox,
                     "iscrowd": 1 if gtype == "MultiPolygon" else 0,  # R7
                 }
             )

@@ -31,16 +31,21 @@ def assign_sequential_ids(
     offset: int = 0,
     small_threshold: int = 1_000_000,
     num_partitions: int | None = None,
+    n_rows: int | None = None,
+    assume_large: bool = False,
 ) -> DataFrame:
     """Add ``id_col`` = offset + 1, offset + 2, ... in ``order_cols`` order.
 
     ``offset`` carries the resume/append contract: ids continue from the
     existing table count (A7, geococo/coco_models.py:24-29).
+    ``n_rows`` (a known count) or ``assume_large=True`` skips the
+    path-decision count() job — the two-pass path never needs the total.
     """
-    n = df.count()
-    if n <= small_threshold:
-        w = Window.orderBy(*order_cols)
-        return df.withColumn(id_col, (F.row_number().over(w) + F.lit(offset)).cast("long"))
+    if not assume_large:
+        n = n_rows if n_rows is not None else df.count()
+        if n <= small_threshold:
+            w = Window.orderBy(*order_cols)
+            return df.withColumn(id_col, (F.row_number().over(w) + F.lit(offset)).cast("long"))
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (

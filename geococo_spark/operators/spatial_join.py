@@ -23,6 +23,7 @@ key prefix. AQE skew-join is left on as a backstop (session.py).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,24 +36,45 @@ from geococo_spark.operators import cells
 
 @pandas_udf(BooleanType())
 def _box_intersects_wkb(
-    minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series, geom: pd.Series
+    minx: pd.Series,
+    miny: pd.Series,
+    maxx: pd.Series,
+    maxy: pd.Series,
+    lminx: pd.Series,
+    lminy: pd.Series,
+    lmaxx: pd.Series,
+    lmaxy: pd.Series,
+    geom: pd.Series,
 ) -> pd.Series:
     """Exact intersects(box, polygon) on Arrow batches.
 
-    Decodes WKB once per row (labels are small); same semantics as the
-    reference's ``labels.intersects(window_geom)``
-    (geococo/coco_processing.py:107).
+    Same semantics as the reference's ``labels.intersects(window_geom)``
+    (geococo/coco_processing.py:107). Fast path first: when the tile box
+    CONTAINS the label bbox, the polygon (⊆ its bbox) must intersect —
+    one vectorized numpy compare decides the vast majority of pairs
+    (tiles ≫ labels), and WKB is decoded only for the boundary-straddling
+    remainder (cached per distinct geometry within the batch).
     """
-    out = []
+    bminx = minx.to_numpy(dtype=np.float64)
+    bminy = miny.to_numpy(dtype=np.float64)
+    bmaxx = maxx.to_numpy(dtype=np.float64)
+    bmaxy = maxy.to_numpy(dtype=np.float64)
+    contained = (
+        (bminx <= lminx.to_numpy(dtype=np.float64))
+        & (bmaxx >= lmaxx.to_numpy(dtype=np.float64))
+        & (bminy <= lminy.to_numpy(dtype=np.float64))
+        & (bmaxy >= lmaxy.to_numpy(dtype=np.float64))
+    )
+    out = contained.copy()
     cache: dict[bytes, list] = {}
-    for mnx, mny, mxx, mxy, g in zip(minx, miny, maxx, maxy, geom):
-        g = bytes(g)
+    for i in np.nonzero(~contained)[0]:
+        g = bytes(geom.iloc[i])
         rings = cache.get(g)
         if rings is None:
             rings = wkb.decode_rings(g)
             cache[g] = rings
-        out.append(
-            predicates.box_intersects_polygon(float(mnx), float(mny), float(mxx), float(mxy), rings)
+        out[i] = predicates.box_intersects_polygon(
+            float(bminx[i]), float(bminy[i]), float(bmaxx[i]), float(bmaxy[i]), rings
         )
     return pd.Series(out)
 
@@ -93,6 +115,7 @@ def spatial_join(
     hot_threshold: int = 5_000,
     exact: bool = True,
     label_count: int | None = None,
+    output_geometry: bool = True,
 ) -> DataFrame:
     """Join tiles to intersecting labels.
 
@@ -108,6 +131,10 @@ def spatial_join(
     :param exact: apply the exact polygon residual (False = bbox-only
         join, the SQL-expressible skeleton used by the DuckDB oracle)
     :param label_count: optional known label count to skip the count job
+    :param output_geometry: keep the label WKB on the output rows. Pass
+        False when the caller re-attaches geometry from the labels table
+        (pipeline does): the WKB then never rides the dedupe shuffle —
+        pair rows shrink ~10x on dense-label workloads
     :return: one row per intersecting (tile, label) pair, with all tile
         and label columns
     """
@@ -153,10 +180,15 @@ def spatial_join(
                 F.col("tile_miny"),
                 F.col("tile_maxx"),
                 F.col("tile_maxy"),
+                F.col("label_minx"),
+                F.col("label_miny"),
+                F.col("label_maxx"),
+                F.col("label_maxy"),
                 F.col(geometry),
             )
         )
-    return joined.drop("cell").dropDuplicates([tile_id, label_id])
+    drop = ["cell"] if output_geometry else ["cell", geometry]
+    return joined.drop(*drop).dropDuplicates([tile_id, label_id])
 
 
 def spatial_join_brute_force(
@@ -172,6 +204,10 @@ def spatial_join_brute_force(
             F.col("tile_miny"),
             F.col("tile_maxx"),
             F.col("tile_maxy"),
+            F.col("label_minx"),
+            F.col("label_miny"),
+            F.col("label_maxx"),
+            F.col("label_maxy"),
             F.col("geometry"),
         )
     )

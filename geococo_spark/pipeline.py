@@ -155,6 +155,7 @@ def append_dataset(
     metrics: "EngineMetrics | None" = None,
     knn_fallback: bool = False,
     knn_rings: int = 2,
+    timings: dict | None = None,
 ) -> CocoState:
     """Run the full annotate pipeline and return the appended state.
 
@@ -162,6 +163,18 @@ def append_dataset(
     ``geometry`` + user attribute columns + precomputed bounds columns
     (label_minx..label_maxy) + ``label_idx`` + ``geom_type``.
     """
+    # optional phase profiling: wall time between the pipeline's action
+    # points (each phase = the Spark job(s) that ran since the last mark)
+    import time as _time
+
+    _t = [_time.perf_counter()]
+
+    def _mark(phase: str) -> None:
+        if timings is not None:
+            now = _time.perf_counter()
+            timings[phase] = round(now - _t[0], 3)
+            _t[0] = now
+
     # ① F4 type coercion (no job)
     labels, present_id = _coerce_labels(labels, id_attribute, name_attribute, super_attribute)
 
@@ -188,6 +201,7 @@ def append_dataset(
         ).alias("label_digest"),
     ).first()
     _raise_on_violations(agg, id_attribute)
+    _mark("labels_agg")
     if int(agg["n_crs"] or 0) > 1:
         raise ValueError("labels table carries more than one CRS, exiting..")
     n_labels = int(agg["n"])
@@ -234,6 +248,7 @@ def append_dataset(
         F.max("image_id").alias("max_id"),
         F.expr("bit_xor(xxhash64(image_id, phash, w, h))").alias("img_digest"),
     ).first()
+    _mark("images_agg")
     if int(img_agg["n_images"]) == 0:
         raise ValueError("images table is empty")
     if agg["crs"] is not None and (
@@ -249,10 +264,13 @@ def append_dataset(
     # mapping DataFrame; only O(1) scalars hit the driver (VERDICT r01 #3)
     src_df = F.broadcast(
         state.register_sources_df(
-            images.select(F.col("image_id").alias("file_name")), date_captured
+            images.select(F.col("image_id").alias("file_name")),
+            date_captured,
+            incoming_count=int(img_agg["n_images"]),
         ).select(F.col("file_name").alias("image_key"), F.col("id").alias("source_id"))
     )
     state.verify_used_dir(images_dir)
+    _mark("sources")
 
     # A3 — per-image parent window = raster window ∩ label-extent window
     t = "transform"
@@ -304,46 +322,49 @@ def append_dataset(
     )
     if cell_size is None:
         cell_size = float(schema.width_window * res[0])
-    pairs = spatial_join.spatial_join(
-        tiles,
-        labels.select(
-            "label_idx", "geometry", "geom_type", "id",
-            "label_minx", "label_miny", "label_maxx", "label_maxy",
-        ),
-        cell_size=cell_size,
-        label_id="label_idx",
-        broadcast_rows=broadcast_rows,
-        label_count=n_labels,
-    )
-
-    # ⑬-㉑ fused kernel over cogrouped (image, its pairs). The pairs plan
-    # re-reads the images subtree (grid side), so its lineage is truncated
-    # first — metadata-only rows, cheap to materialize — which both avoids
-    # re-running the join per downstream action and sidesteps Catalyst
-    # self-join attribute collisions on the struct extraction. With a
+    # ⑬-㉑ fused kernel over cogrouped (image, its pairs). The THIN pair
+    # table (no WKB — output_geometry=False keeps geometry out of the
+    # join output, its dedupe shuffle and the materialized stage) is
+    # truncated/materialized ONCE: the old shape unioned two branches of
+    # the same join subtree, executing the join (and its exact-predicate
+    # UDF) twice per run. Label WKB re-attaches afterwards from the
+    # labels table, one "geom" row per (image, label) — a label matching
+    # k tiles never ships k WKB copies through shuffle/Arrow. With a
     # checkpoint_dir the truncation doubles as a resumable stage with a
     # per-partition lineage manifest (north_rule).
-    def _pairs_small():
-        # ship each label's WKB ONCE per image ("geom" rows) and keep the
-        # per-(tile,label) rows thin — a label matching k tiles would
-        # otherwise push k copies of its geometry through the shuffle and
-        # the Arrow boundary (~10x volume on dense-label workloads)
-        base = pairs.select(
+    def _pairs_thin():
+        return spatial_join.spatial_join(
+            tiles,
+            labels.select(
+                "label_idx", "geometry", "geom_type", "id",
+                "label_minx", "label_miny", "label_maxx", "label_maxy",
+            ),
+            cell_size=cell_size,
+            label_id="label_idx",
+            broadcast_rows=broadcast_rows,
+            label_count=n_labels,
+            output_geometry=False,
+        ).select(
             F.col("tile_image_id").alias("image_id"),
             "col_off", "row_off", "width", "height",
-            "label_idx", "geometry", "id",
+            "label_idx", "id",
         )
-        geom_rows = base.select(
-            "image_id", "label_idx", "geometry"
-        ).dropDuplicates(["image_id", "label_idx"]).select(
-            "image_id",
-            F.lit(None).cast("long").alias("col_off"),
-            F.lit(None).cast("long").alias("row_off"),
-            F.lit(None).cast("long").alias("width"),
-            F.lit(None).cast("long").alias("height"),
-            "label_idx",
-            "geometry",
-            F.lit(None).cast("int").alias("id"),
+
+    def _with_geom_rows(base):
+        geom_rows = (
+            base.select("image_id", "label_idx")
+            .dropDuplicates(["image_id", "label_idx"])
+            .join(labels.select("label_idx", "geometry"), "label_idx")
+            .select(
+                "image_id",
+                F.lit(None).cast("long").alias("col_off"),
+                F.lit(None).cast("long").alias("row_off"),
+                F.lit(None).cast("long").alias("width"),
+                F.lit(None).cast("long").alias("height"),
+                "label_idx",
+                "geometry",
+                F.lit(None).cast("int").alias("id"),
+            )
         )
         pair_rows = base.select(
             "image_id", "col_off", "row_off", "width", "height",
@@ -370,9 +391,11 @@ def append_dataset(
                 quantile, images_dir, out_fmt,
             )
         )
-        pairs_small = ckpt.run("pairs", fingerprint, _pairs_small, metrics)
+        pairs_thin = ckpt.run("pairs", fingerprint, _pairs_thin, metrics)
     else:
-        pairs_small = _pairs_small().localCheckpoint()
+        pairs_thin = _pairs_thin().localCheckpoint()
+    pairs_small = _with_geom_rows(pairs_thin)
+    _mark("pairs_join")
 
     acc = metrics.acc if metrics is not None else None
     kout = (
@@ -386,6 +409,9 @@ def append_dataset(
         # several downstream actions (id counts, images, annotations) must
         # not re-run the expensive kernel — pin its output
         kout = kout.persist(StorageLevel.MEMORY_AND_DISK)
+    if timings is not None:
+        kout.count()  # profiling only: force the kernel into its own phase
+        _mark("kernel")
 
     kout = kout.join(src_df, "image_key")
 
@@ -415,6 +441,7 @@ def append_dataset(
         F.lit(date_captured).cast("timestamp").alias("date_captured"),
         "image_key", "tile_name",
     )
+    _mark("image_ids")
 
     # ㉒/W2 — annotation ids ordered by (image order, category id, label idx)
     ann_rows = kout.filter(F.col("row_type") == "ann")
@@ -426,9 +453,9 @@ def append_dataset(
         ["source_id", "col_off", "row_off", "category_id", "label_idx"],
         "id",
         offset=state.next_annotation_id() - 1,
-        # annotations are the big output: switch to the parallel two-pass
-        # well before the single-task window sort becomes the bottleneck
-        small_threshold=20_000,
+        # annotations are the big output: always the parallel two-pass
+        # (also skips the path-decision count job)
+        assume_large=True,
     ).select(
         "id",
         F.col("coco_image_id").alias("image_id"),
@@ -440,6 +467,7 @@ def append_dataset(
         "bbox",
         "iscrowd",
     )
+    _mark("annotation_ids")
 
     # J5 — optional kNN fallback: labels that matched NO tile get their
     # nearest tile assignment (north_star; no reference analog). Output
@@ -448,11 +476,9 @@ def append_dataset(
     if knn_fallback:
         from geococo_spark.operators import knn as knn_ops
 
-        # pairs_small is already materialized (checkpoint) — don't
+        # pairs_thin is already materialized (checkpoint) — don't
         # recompute the join just to list matched label ids
-        matched_ids = pairs_small.filter(F.col("col_off").isNotNull()).select(
-            "label_idx"
-        ).distinct()
+        matched_ids = pairs_thin.select("label_idx").distinct()
         unmatched = labels.select(
             F.col("label_idx").alias("label_id"), "geometry",
             "label_minx", "label_miny", "label_maxx", "label_maxy",
@@ -476,6 +502,9 @@ def append_dataset(
         )
     )
     state.annotations = state.annotations.unionByName(coco_annotations_new)
+    # appended tables have unknown sizes until counted again
+    state.cached_counts.pop("images", None)
+    state.cached_counts.pop("annotations", None)
     state.tiles = coco_images_new.select(
         "id", "file_name", "image_key", "tile_name"
     ).join(

@@ -20,7 +20,7 @@ def get_spark(
     app_name: str = "geococo-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 64,
+    arrow_batch_rows: int = 1024,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cores = os.cpu_count() or 8
@@ -38,11 +38,25 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # image rows are fat (bytes column); keep Arrow batches small so a
-        # batch of decoded uint8 arrays stays well under executor memory
+        # Arrow batch sizing: 1024 rows keeps scalar-UDF batches efficient
+        # (64-row batches thrashed the per-batch WKB cache and paid ~16x
+        # the per-batch overhead — measured round 2) while staying bounded
+        # for fat rows: kernel groups are small and tile rows cap batch
+        # memory at ~16 tiles x 200KB per group
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if master.startswith("local-cluster"):
+        # separate executor JVMs spawn their own python workers, which do
+        # NOT inherit the driver's sys.path — module-referencing UDFs
+        # (cloudpickle by-reference) need the repo importable there. On a
+        # real cluster this is spark-submit --py-files instead.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{extra}" if extra else repo_root,
+        )
     return builder.getOrCreate()

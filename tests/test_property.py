@@ -51,6 +51,67 @@ class TestRleProperties:
         counts = rle.mask_to_counts(mask)
         assert counts.sum() == mask.size
 
+    @NO_DEADLINE
+    @given(masks())
+    def test_encode_from_indices_matches_dense(self, mask):
+        # the kernel's sparse path (patch indices, column-major) must be
+        # byte-identical to dense encode of the same mask
+        cols, rows = np.nonzero(mask.T)
+        idx = cols.astype(np.int64) * mask.shape[0] + rows
+        sparse = rle.encode_from_indices(idx, *mask.shape)
+        dense = rle.encode(mask)
+        assert sparse["size"] == dense["size"]
+        assert sparse["counts"] == dense["counts"]
+
+
+@st.composite
+def pixel_rings(draw):
+    """Closed rings in pixel space mixing arbitrary floats with points
+    EXACTLY on grid lines (the supercover's adversarial cases)."""
+    n = draw(st.integers(2, 7))
+    coord = st.one_of(
+        st.floats(-3, 18, allow_nan=False, allow_infinity=False),
+        st.integers(-2, 17).map(float),  # exactly on grid lines
+    )
+    pts = [(draw(coord), draw(coord)) for _ in range(n)]
+    pts.append(pts[0])
+    return np.array(pts, dtype=np.float64)
+
+
+class TestScanlineFillEquivalence:
+    @NO_DEADLINE
+    @given(pixel_rings())
+    def test_scanline_matches_pip(self, ring):
+        """Scanline interior fill == pixel-center even-odd PIP, including
+        vertices exactly on pixel-center rows and degenerate rings."""
+        shape = (16, 16)
+        cols = np.arange(shape[1])
+        rows = np.arange(shape[0])
+        cg, rg = np.meshgrid(cols + 0.5, rows + 0.5)
+        pip = rasterize._pip_even_odd(cg.ravel(), rg.ravel(), [ring]).reshape(shape)
+        scan = np.zeros(shape, dtype=bool)
+        rasterize._scanline_fill(scan, [ring], 0, shape[0] - 1)
+        np.testing.assert_array_equal(scan, pip)
+
+
+class TestSupercoverEquivalence:
+    @NO_DEADLINE
+    @given(pixel_rings())
+    def test_vectorized_matches_scalar(self, ring):
+        """The vectorized all-edges supercover must mark EXACTLY the
+        cells the scalar reference marks (incl. grid-aligned edges,
+        degenerate points, and out-of-grid spans)."""
+        shape = (16, 16)
+        scalar = np.zeros(shape, dtype=bool)
+        for i in range(len(ring) - 1):
+            rasterize._mark_edge_supercover(
+                scalar, float(ring[i, 0]), float(ring[i, 1]),
+                float(ring[i + 1, 0]), float(ring[i + 1, 1]),
+            )
+        vector = np.zeros(shape, dtype=bool)
+        rasterize._supercover_mark_all(vector, [ring])
+        np.testing.assert_array_equal(vector, scalar)
+
 
 class TestWkbProperties:
     @NO_DEADLINE
