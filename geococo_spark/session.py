@@ -59,4 +59,10 @@ def get_spark(
             "spark.executorEnv.PYTHONPATH",
             f"{repo_root}:{extra}" if extra else repo_root,
         )
+        # local-cluster[n, cores, memMB] sets the WORKER's advertised
+        # memory only; executors still default to 1g heap and get
+        # OOM-churned on image workloads — size them explicitly
+        builder = builder.config(
+            "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g")
+        )
     return builder.getOrCreate()

@@ -79,7 +79,7 @@ def run(cpus: int, n_images: int, stage: str, reps: int) -> dict:
 def main() -> None:
     import tempfile
 
-    n_images = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "192"))
+    n_images = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "1024"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     stage = tempfile.mkdtemp(prefix="geococo_scaling_")
     lo = run(8, n_images, stage, reps)

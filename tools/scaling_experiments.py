@@ -78,8 +78,10 @@ CONFIGS = {
     "hi": ("local[32]", 32, 32, 1024),
     # separate executor JVMs (2 workers x 4 cores vs 8 x 4): the faithful
     # multi-executor proxy — isolates single-JVM co-residency effects
-    "lc_lo": ("local-cluster[2,4,4096]", 8, 8, 1024),
-    "lc_hi": ("local-cluster[8,4,4096]", 32, 32, 1024),
+    "lc_lo": ("local-cluster[2,4,8192]", 8, 8, 1024),
+    "lc_hi": ("local-cluster[8,4,8192]", 32, 32, 1024),
+    "hi_s64": ("local[32]", 32, 64, 1024),
+    "hi_s128": ("local[32]", 32, 128, 1024),
 }
 
 
