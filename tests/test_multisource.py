@@ -73,3 +73,67 @@ class TestMultiSource:
         )
         # only the 5 near labels annotate; far ones fall outside every window
         assert state.annotations.count() == 5
+
+
+class TestDistributedSourceRegistration:
+    """register_sources_df must reproduce the sequential dict-based
+    register_sources exactly — ids AND the version-bump order semantics
+    (minor bumps zero the patch; surviving patches are the matched names
+    sorted after the last new name)."""
+
+    def _seq_version(self, start, names, existing):
+        from geococo_spark.coco import bump_version
+        v = start
+        seen = set(existing)
+        for fn in sorted(names):
+            if fn in seen:
+                v = bump_version(v, "patch")
+            else:
+                v = bump_version(v, "minor")
+                seen.add(fn)
+        return v
+
+    @pytest.mark.parametrize(
+        "existing,incoming",
+        [
+            ([], ["a", "b", "c"]),                      # all new
+            (["a", "b"], ["a", "b"]),                   # all matched
+            (["b", "d"], ["a", "b", "c", "d", "e"]),    # interleaved
+            (["z1", "z2"], ["a", "z1", "z2"]),          # matches AFTER last new
+            (["a"], ["a", "z"]),                        # match BEFORE last new
+        ],
+    )
+    def test_matches_sequential_semantics(self, spark, existing, incoming):
+        from datetime import datetime
+        from geococo_spark import schemas as sch
+        from geococo_spark.coco import CocoState
+
+        state = CocoState.create(spark, version="1.2.3")
+        if existing:
+            state.sources = state.sources.unionByName(
+                spark.createDataFrame(
+                    [(i + 1, fn, None) for i, fn in enumerate(sorted(existing))],
+                    sch.COCO_SOURCES,
+                )
+            )
+            state.cached_counts["sources"] = len(existing)
+        state.info["version"] = "1.2.3"
+        mapping = {
+            r.file_name: r.id
+            for r in state.register_sources_df(
+                spark.createDataFrame([(fn,) for fn in incoming], ["file_name"]),
+                datetime(2021, 1, 1),
+                incoming_count=len(incoming),
+            ).collect()
+        }
+        # ids: matched keep theirs; new continue from len(existing) in name order
+        expect_ids = {fn: i + 1 for i, fn in enumerate(sorted(existing))}
+        nxt = len(existing) + 1
+        for fn in sorted(set(incoming) - set(existing)):
+            expect_ids[fn] = nxt
+            nxt += 1
+        assert mapping == {fn: expect_ids[fn] for fn in incoming}
+        assert state.info["version"] == self._seq_version("1.2.3", incoming, existing)
+        # the sources table itself gained exactly the new names
+        rows = {(r.id, r.file_name) for r in state.sources.collect()}
+        assert rows == {(expect_ids[fn], fn) for fn in set(existing) | set(incoming)}
