@@ -483,6 +483,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sim.brute_force_topk(embs, probes, k=5)
 
+    def q_ann_ivf(spark, sf_dir):
+        # IVF plan end-to-end (centroid train -> cell assign -> cell
+        # join -> exact re-rank); with n_probe == n_centroids the result
+        # equals brute force, so the DuckDB oracle can verify it while
+        # the selective-probe behavior is pinned by pytest recall tests
+        embs = _t(spark, sf_dir, "embeddings").filter("vec_id < 400")
+        probes = embs.filter("vec_id % 100 = 3").select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return sim.ivf_topk(embs, probes, dim=64, k=5, n_centroids=8, n_probe=8)
+
     # ---- rows-only checks (geometry kernels / LSH — not SQL-expressible)
     def q_spatial_join_exact(spark, sf_dir):
         from geococo_spark.operators import spatial_join
@@ -551,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
         "q_spatial_join_exact": q_spatial_join_exact,
         "q_knn_fallback": q_knn_fallback,
         "q_minhash_lsh": q_minhash_lsh,
@@ -951,6 +963,22 @@ WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS
            FROM embeddings WHERE vec_id < 300),
 n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nv FROM q),
 p AS (SELECT vec_id AS probe_id, qv AS qp, nv AS np_ FROM n WHERE vec_id < 3),
+scored AS (
+  SELECT p.probe_id, n.vec_id,
+         round(list_dot_product(n.qv, p.qp) / (sqrt(n.nv) * sqrt(p.np_)), 6) AS cos_sim
+  FROM n CROSS JOIN p WHERE n.vec_id <> p.probe_id),
+ranked AS (
+  SELECT probe_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC)
+              AS BIGINT) AS rank
+  FROM scored)
+SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+        "q_ann_ivf": """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id < 400),
+n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nv FROM q),
+p AS (SELECT vec_id AS probe_id, qv AS qp, nv AS np_ FROM n WHERE vec_id % 100 = 3),
 scored AS (
   SELECT p.probe_id, n.vec_id,
          round(list_dot_product(n.qv, p.qp) / (sqrt(n.nv) * sqrt(p.np_)), 6) AS cos_sim

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 
@@ -172,6 +172,105 @@ def int_hyperplane_signature_udf(planes: np.ndarray):
         return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
 
     return _sig
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: a BOUNDED sample (first
+    ``sample_rows`` by id — standard practice; centroid quality needs a
+    sample, not the corpus) trained with seeded Lloyd iterations on the
+    driver. Returns L2-normalized (n_centroids, dim) centroids."""
+    sample = np.array(
+        [
+            r[0]
+            for r in vectors.orderBy(id_col).select(emb_col).limit(sample_rows).collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.maximum(norms, 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _centroid_assign_udf(cents: np.ndarray, top: int = 1):
+    """Nearest-``top`` centroids by cosine (inputs need not be
+    normalized: centroids are unit vectors, so argmax of dot/|v| ==
+    argmax of dot) — one matmul per Arrow batch."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _assign(emb: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        sims = mat @ cents.T
+        idx = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series([[int(c) for c in row] for row in idx])
+
+    return _assign
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k — the driver brief's second ANN scale path
+    (alongside lsh_topk): vectors land in ONE coarse-quantizer cell
+    each; probes search their ``n_probe`` nearest cells; candidates come
+    from the cell equi-join and are re-ranked exactly (same quantized
+    cosine as brute_force_topk). Never a cross join; the vector side
+    shuffles once on the cell id."""
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, dim, n_centroids, id_col=id_col, emb_col=emb_col)
+    v_assign = _centroid_assign_udf(centroids, top=1)
+    p_assign = _centroid_assign_udf(centroids, top=n_probe)
+    vb = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("vec_emb")
+    ).withColumn("cid", F.element_at(v_assign(F.col("vec_emb")), 1))
+    pb = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(emb_col).alias("probe_emb")
+    ).withColumn("cid", F.explode(p_assign(F.col("probe_emb"))))
+    cand = vb.join(F.broadcast(pb), "cid").filter(F.col("vec_id") != F.col("probe_id"))
+    scored = cand.withColumn(
+        "cos_sim",
+        F.round(
+            _dot(_qvec(F.col("vec_emb")), _qvec(F.col("probe_emb")))
+            / (
+                F.sqrt(_dot(_qvec(F.col("vec_emb")), _qvec(F.col("vec_emb"))).cast("double"))
+                * F.sqrt(_dot(_qvec(F.col("probe_emb")), _qvec(F.col("probe_emb"))).cast("double"))
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )
 
 
 def embedding_near_duplicates(

@@ -229,10 +229,15 @@ def append_dataset(
     # digest. Nothing per-image reaches the driver — at 10^12 rasters the
     # old collect() was the scale-killer flagged in VERDICT r01 #3.
     t = "transform"
-    _col0 = (F.lit(vminx) - F.col(f"{t}.c")) / F.col(f"{t}.a")
-    _row0 = (F.lit(vmaxy) - F.col(f"{t}.f")) / F.col(f"{t}.e")
-    _col1 = _col0 + F.lit(vmaxx - vminx) / F.col(f"{t}.a")
-    _row1 = _row0 + F.lit(vminy - vmaxy) / F.col(f"{t}.e")
+    # from_bounds, sign-agnostic: min/max of the two projections per axis
+    # so south-up (e > 0) / west-positive (a < 0) rasters work end-to-end
+    # like they do in the kernel (ADVICE r01)
+    _ca = (F.lit(vminx) - F.col(f"{t}.c")) / F.col(f"{t}.a")
+    _cb = (F.lit(vmaxx) - F.col(f"{t}.c")) / F.col(f"{t}.a")
+    _ra = (F.lit(vminy) - F.col(f"{t}.f")) / F.col(f"{t}.e")
+    _rb = (F.lit(vmaxy) - F.col(f"{t}.f")) / F.col(f"{t}.e")
+    _col0, _col1 = F.least(_ca, _cb), F.greatest(_ca, _cb)
+    _row0, _row1 = F.least(_ra, _rb), F.greatest(_ra, _rb)
     _overlap = (
         F.least(F.col("w").cast("double"), _col1) > F.greatest(F.lit(0.0), _col0)
     ) & (F.least(F.col("h").cast("double"), _row1) > F.greatest(F.lit(0.0), _row0))
@@ -273,17 +278,13 @@ def append_dataset(
     _mark("sources")
 
     # A3 — per-image parent window = raster window ∩ label-extent window
-    t = "transform"
-    # pixel-space windows via from_bounds (utils.py:55-58)
-    v_col = (F.lit(vminx) - F.col(f"{t}.c")) / F.col(f"{t}.a")
-    v_row = (F.lit(vmaxy) - F.col(f"{t}.f")) / F.col(f"{t}.e")
-    v_w = F.lit(vmaxx - vminx) / F.col(f"{t}.a")
-    v_h = (F.lit(vminy) - F.lit(vmaxy)) / F.col(f"{t}.e")
+    # (pixel-space from_bounds, utils.py:55-58, same sign-agnostic
+    # projections as the overlap guard above)
     with_parent = (
-        images.withColumn("_p0", F.greatest(F.lit(0.0), v_col))
-        .withColumn("_q0", F.greatest(F.lit(0.0), v_row))
-        .withColumn("_p1", F.least(F.col("w").cast("double"), v_col + v_w))
-        .withColumn("_q1", F.least(F.col("h").cast("double"), v_row + v_h))
+        images.withColumn("_p0", F.greatest(F.lit(0.0), _col0))
+        .withColumn("_q0", F.greatest(F.lit(0.0), _row0))
+        .withColumn("_p1", F.least(F.col("w").cast("double"), _col1))
+        .withColumn("_q1", F.least(F.col("h").cast("double"), _row1))
         .withColumn("parent_col_off", F.col("_p0").cast("long"))
         .withColumn("parent_row_off", F.col("_q0").cast("long"))
         .withColumn("parent_width", (F.col("_p1") - F.col("_p0")).cast("long"))

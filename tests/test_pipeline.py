@@ -114,6 +114,44 @@ class TestAppendDataset:
         with pytest.raises(ValueError, match="don't overlap"):
             pipeline.append_dataset(spark, state, images, labels)
 
+    def test_south_up_raster_end_to_end(self, spark):
+        """A south-up raster (e > 0, same world extent) produces the same
+        annotations as the north-up one — pixel rows mirrored. Round 1
+        silently emitted empty masks here (ADVICE r01)."""
+        rows = datagen.make_image_rows(1)
+        south = list(rows[0])
+        south[7] = (1.0, 0.0, 0.0, 0.0, 1.0, -256.0)  # y: -256..0 like north-up
+        images_s = spark.createDataFrame([tuple(south)], datagen.schemas.IMAGES)
+        images_n = spark.createDataFrame(rows, datagen.schemas.IMAGES)
+        labels = datagen.labels_df(spark)
+
+        def run(images, e, f):
+            state = pipeline.append_dataset(
+                spark, CocoState.create(spark), images, labels, images_dir="d",
+                id_attribute="category_id", name_attribute="class_names",
+            )
+            # tile row offsets from the reference filename template
+            # (images_dir/source_col_row_w_h.jpg)
+            row_off = {
+                r["id"]: int(r["file_name"].rsplit(".", 1)[0].split("_")[-3])
+                for r in state.images.collect()
+            }
+            out = []
+            for a in state.annotations.collect():
+                x, y, w, h = a["bbox"]
+                abs_row = row_off[a["image_id"]] + y
+                # world-y interval of the mask rows [abs_row, abs_row+h)
+                ys = sorted((f + e * abs_row, f + e * (abs_row + h)))
+                out.append((x, w, h, a["category_id"], a["area"], ys[0], ys[1]))
+            return sorted(out)
+
+        anns_n = run(images_n, -1.0, 0.0)
+        anns_s = run(images_s, 1.0, -256.0)
+        assert len(anns_s) == len(anns_n) == 5
+        # identical world-space geometry: x offsets, sizes, categories,
+        # areas AND world-y extents all match between orientations
+        assert anns_s == anns_n
+
     def test_mixed_label_crs_raises_deterministically(self, spark):
         """F5 guard: a labels table with >1 distinct CRS must always
         raise (ADVICE r01: first('crs') made this nondeterministic)."""

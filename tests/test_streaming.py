@@ -99,3 +99,67 @@ class TestWindowedCounts:
             ).collect()
         ]
         assert rows_stream == rows_batch
+
+
+class TestStatefulDedup:
+    def test_exactly_once_per_key_across_batches(self, spark, tmp_path):
+        """dedup_stream emits each image_id once per stream LIFETIME:
+        re-delivered rows in later drops are dropped by group state
+        (applyInPandasWithState), surviving query restarts via the
+        streaming checkpoint."""
+        from geococo_spark.streaming import stateful
+
+        in_dir = str(tmp_path / "drop")
+        ck = str(tmp_path / "state_ck")
+        sink = str(tmp_path / "sink")
+
+        def drain():
+            stream = ingest.stream_images(spark, in_dir)
+            q = (
+                stateful.dedup_stream(stream, "image_id")
+                .select("image_id", "caption")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            return sorted(r.image_id for r in spark.read.parquet(sink).collect())
+
+        # drop 1: ids img_0..img_2 (seed tag s1_)
+        write_images(spark, in_dir, 3, seed=1)
+        assert drain() == ["s1_img_000000000000", "s1_img_000000000001", "s1_img_000000000002"]
+
+        # drop 2: re-deliver the SAME three ids + two genuinely new ones
+        write_images(spark, in_dir, 3, seed=1)  # duplicates (same ids)
+        write_images(spark, in_dir, 2, seed=3)
+        got = drain()
+        assert got == [
+            "s1_img_000000000000", "s1_img_000000000001", "s1_img_000000000002",
+            "s3_img_000000000000", "s3_img_000000000001",
+        ], "duplicate keys leaked through the state store"
+
+    def test_within_batch_duplicates_collapse(self, spark, tmp_path):
+        from geococo_spark.streaming import stateful
+
+        in_dir = str(tmp_path / "drop2")
+        ck = str(tmp_path / "state_ck2")
+        sink = str(tmp_path / "sink2")
+        # the same ids written twice BEFORE the first drain: one batch,
+        # duplicated keys inside it
+        write_images(spark, in_dir, 2, seed=5)
+        write_images(spark, in_dir, 2, seed=5)
+        stream = ingest.stream_images(spark, in_dir)
+        q = (
+            stateful.dedup_stream(stream, "image_id")
+            .select("image_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rows = [r.image_id for r in spark.read.parquet(sink).collect()]
+        assert sorted(rows) == ["s5_img_000000000000", "s5_img_000000000001"]

@@ -179,6 +179,45 @@ class TestSimilarity:
         expected = {(p * 100, p * 100 + 1) for p in range(5)}
         assert len(found & expected) >= 4  # >=80% of planted pairs recovered
 
+    def test_ivf_topk_recall_on_planted_neighbors(self, spark):
+        """IVF path recovers planted near-neighbors like lsh_topk: the
+        probe's cell list must contain its neighbor's cell and the exact
+        re-rank must put it first."""
+        rng = np.random.RandomState(21)
+        dim = 32
+        rows = []
+        for p in range(5):
+            base = rng.randn(dim)
+            rows.append(Row(vec_id=p * 100, embedding=[float(x) for x in base]))
+            rows.append(
+                Row(vec_id=p * 100 + 1, embedding=[float(x) for x in base + rng.randn(dim) * 0.05])
+            )
+        for i in range(200):
+            rows.append(Row(vec_id=10_000 + i, embedding=[float(x) for x in rng.randn(dim)]))
+        vectors = spark.createDataFrame(rows)
+        probes = vectors.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10_000)).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        approx = similarity.ivf_topk(
+            vectors, probes, dim=dim, k=1, n_centroids=8, n_probe=3
+        ).collect()
+        found = {(r.probe_id, r.vec_id) for r in approx if r.rank == 1}
+        expected = {(p * 100, p * 100 + 1) for p in range(5)}
+        assert len(found & expected) >= 4  # >=80% of planted pairs recovered
+
+    def test_ivf_deterministic_and_self_excluded(self, spark, embs):
+        probes = embs.limit(3).select(F.col("vec_id").alias("probe_id"), "embedding")
+        a = similarity.ivf_topk(embs, probes, dim=64, k=5, n_centroids=8, n_probe=8)
+        rows1 = sorted(map(tuple, a.collect()))
+        rows2 = sorted(map(tuple, similarity.ivf_topk(
+            embs, probes, dim=64, k=5, n_centroids=8, n_probe=8
+        ).collect()))
+        assert rows1 == rows2  # seeded k-means -> reproducible
+        assert all(r[0] != r[1] for r in rows1)  # no self matches
+        # n_probe == n_centroids searches everything -> exact result
+        exact = sorted(map(tuple, similarity.brute_force_topk(embs, probes, k=5).collect()))
+        assert rows1 == exact
+
     def test_embedding_near_duplicates_planted(self, spark):
         rng = np.random.RandomState(3)
         v = rng.randn(16).astype(float)
