@@ -51,6 +51,28 @@ def write_table(df: DataFrame, target: str, fmt: str | None = None) -> str:
     return "parquet"
 
 
+def layout_tiles_zorder(
+    tiles: DataFrame, block: float = 256.0, num_files: int | None = None
+) -> DataFrame:
+    """Cluster tile rows by Z-order (Morton) of their window offsets so
+    spatially-adjacent tiles land in the same parquet files AND files
+    cover disjoint ``z`` ranges (repartitionByRange + in-partition sort).
+    The retained ``z`` column makes range reads prunable: a spatial
+    bounding-box query becomes ``z BETWEEN lo AND hi`` (+ exact residual)
+    and the parquet reader skips whole files/row-groups via min-max
+    stats. Expects the reference tile_name format ``col_row_w_h``.
+    """
+    from pyspark.sql import functions as F
+
+    from geococo_spark.operators import cells
+
+    zx = F.floor(F.split(F.col("tile_name"), "_")[0].cast("double") / block)
+    zy = F.floor(F.split(F.col("tile_name"), "_")[1].cast("double") / block)
+    out = tiles.withColumn("z", cells.zorder_key(zx, zy))
+    n = num_files or tiles.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "z").sortWithinPartitions("z")
+
+
 def read_table(spark: SparkSession, target: str, fmt: str | None = None) -> DataFrame:
     """Read a table written by :func:`write_table`."""
     use_iceberg = (

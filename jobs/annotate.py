@@ -74,19 +74,13 @@ def main(argv: list[str] | None = None) -> None:
     write_table(state.sources, f"{args.output}/coco_sources")
     if state.tiles is not None:
         # Z-order the tile payload layout: neighboring tiles land in the
-        # same files, so spatial range reads prune (operators/cells.py)
-        from pyspark.sql import functions as F
+        # same files with disjoint z ranges, so spatial range reads prune
+        # files/row-groups via parquet min-max stats (sinks.py)
+        from geococo_spark.sinks import layout_tiles_zorder
 
-        from geococo_spark.operators import cells
-
-        tiles = state.tiles.withColumn(
-            "_zx", F.floor(F.split(F.col("tile_name"), "_")[0].cast("double") / 256.0)
-        ).withColumn(
-            "_zy", F.floor(F.split(F.col("tile_name"), "_")[1].cast("double") / 256.0)
+        layout_tiles_zorder(state.tiles).write.mode("overwrite").parquet(
+            f"{args.output}/tiles"
         )
-        tiles.withColumn("_z", cells.zorder_key(F.col("_zx"), F.col("_zy"))).sortWithinPartitions(
-            "_z"
-        ).drop("_zx", "_zy", "_z").write.mode("overwrite").parquet(f"{args.output}/tiles")
     print(json.dumps({"metrics": metrics.snapshot(), "version": state.info["version"]}))
 
 
