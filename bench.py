@@ -97,7 +97,10 @@ def main() -> None:
         "q_text_quality",
         "q_exact_dedup",
         "q_minhash_lsh",
+        "q_simhash",
+        "q_embedding_neardup",
         "q_ann_topk",
+        "q_ann_ivf",
         "q_events_window",
     ]
     queries = entry_mod.queries()
