@@ -124,6 +124,68 @@ def resize_images(
     return df.select(id_col, bytes_col).mapInPandas(_resize, RESIZED)
 
 
+AUDIO_FEATURES = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("dominant_freq_hz", DoubleType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Audio-modality analog of extract_image_features: decode engine-PCM
+    binaries and compute duration / RMS / zero-crossing rate / dominant
+    frequency (numpy rFFT) in one Arrow pass; decode failures are
+    captured per-row (F6 pattern), never task-fatal."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    samples, sr = codec.decode_audio(bytes(raw))
+                    mono = samples.astype(np.float64).mean(axis=0)
+                    n = mono.shape[0]
+                    spec = np.abs(np.fft.rfft(mono))
+                    spec[0] = 0.0  # ignore DC
+                    dom = float(np.argmax(spec)) * sr / n if n else 0.0
+                    rows.append(
+                        {
+                            "media_id": str(mid),
+                            "sample_rate": int(sr),
+                            "channels": int(samples.shape[0]),
+                            "n_samples": int(n),
+                            "duration_s": round(n / sr, 6),
+                            "rms": round(float(np.sqrt(np.mean(mono**2))), 6),
+                            "zero_crossings": int(np.count_nonzero(np.diff(np.signbit(mono)))),
+                            "dominant_freq_hz": round(dom, 3),
+                            "decode_error": None,
+                        }
+                    )
+                except Exception as exc:
+                    rows.append(
+                        {
+                            "media_id": str(mid),
+                            "sample_rate": None, "channels": None, "n_samples": None,
+                            "duration_s": None, "rms": None, "zero_crossings": None,
+                            "dominant_freq_hz": None,
+                            "decode_error": f"{type(exc).__name__}: {exc}"[:200],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES.fields])
+
+    return df.select(id_col, bytes_col).mapInPandas(_extract, AUDIO_FEATURES)
+
+
 FRAMES = StructType(
     [
         StructField("media_id", StringType(), False),

@@ -59,3 +59,44 @@ class TestFrameSample:
         assert sorted(r.frame_idx for r in frames) == [0, 10, 20]
         f0 = codec.decode_image(bytes(frames[0].frame_bytes))
         assert f0.shape == (1, 8, 8)
+
+
+class TestAudio:
+    def test_sine_wave_features(self, spark):
+        """440 Hz sine at 8 kHz: dominant frequency lands on 440, RMS ==
+        amplitude/sqrt(2), duration exact."""
+        sr, secs, freq, amp = 8000, 2, 440, 10000
+        t = np.arange(sr * secs) / sr
+        wave = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        df = spark.createDataFrame(
+            [
+                Row(media_id="a0", bytes=bytearray(codec.encode_audio(wave[None, :], sr))),
+                Row(media_id="bad", bytes=bytearray(b"\x00\x01garbage")),
+            ]
+        )
+        rows = {r.media_id: r for r in multimodal.extract_audio_features(df).collect()}
+        a = rows["a0"]
+        assert a.decode_error is None
+        assert a.sample_rate == sr and a.channels == 1
+        assert a.duration_s == 2.0
+        assert abs(a.dominant_freq_hz - freq) < 1.0
+        assert abs(a.rms - amp / np.sqrt(2)) < 20  # int16 quantization
+        assert abs(a.zero_crossings - 2 * freq * secs) <= 2
+        # decode failure is a row, not a task failure (F6 pattern)
+        assert rows["bad"].decode_error is not None
+        assert rows["bad"].rms is None
+
+    def test_stereo_roundtrip(self, spark):
+        sr = 4000
+        stereo = np.vstack([
+            np.full(sr, 1000, dtype=np.int16), np.full(sr, -1000, dtype=np.int16)
+        ])
+        samples, back_sr = codec.decode_audio(codec.encode_audio(stereo, sr))
+        assert back_sr == sr
+        np.testing.assert_array_equal(samples, stereo)
+        df = spark.createDataFrame(
+            [Row(media_id="s", bytes=bytearray(codec.encode_audio(stereo, sr)))]
+        )
+        r = multimodal.extract_audio_features(df).first()
+        assert r.channels == 2 and r.n_samples == sr
+        assert r.rms == 0.0  # channels cancel in the mono mixdown
