@@ -449,6 +449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens"
         )
 
+    def q_bpe_tokens(spark, sf_dir):
+        return text.with_bpe_token_estimate(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_pieces", "n_bpe_tokens"
+        )
+
     def q_text_quality(spark, sf_dir):
         return text.with_quality(_t(spark, sf_dir, "documents")).select(
             "doc_id", "n_punct", "n_stopwords", "punct_ratio", "stopword_ratio",
@@ -556,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_fallback": q_date_fallback,
         "q_events_window": q_events_window,
         "q_text_stats": q_text_stats,
+        "q_bpe_tokens": q_bpe_tokens,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -882,6 +888,19 @@ SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
          AS n_distinct_tokens
+FROM documents
+""",
+        "q_bpe_tokens": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS n_pieces,
+       CAST(coalesce(list_sum(list_transform(
+              regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+              p -> CASE WHEN regexp_matches(p, '^[A-Za-z]')
+                        THEN CAST(ceil(length(p) / 4.0) AS BIGINT)
+                        WHEN regexp_matches(p, '^[0-9]')
+                        THEN CAST(ceil(length(p) / 3.0) AS BIGINT)
+                        ELSE 1 END)), 0) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,
         "q_text_quality": r"""

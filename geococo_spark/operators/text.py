@@ -36,6 +36,30 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_bpe_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting (driver brief: "whitespace + a BPE-ish
+    regex"): split into letter runs / digit runs / single punctuation
+    with one regex, then estimate subword pieces — letter runs contribute
+    ceil(len/4) (the ~4 chars/token BPE rule of thumb), digit runs
+    ceil(len/3), punctuation 1 each. Pure built-ins (regexp_extract_all +
+    aggregate), reproducible in the DuckDB oracle."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), F.lit(0))
+    est = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(p.rlike("^[A-Za-z]"), F.ceil(F.length(p) / 4.0).cast("long"))
+        .when(p.rlike("^[0-9]"), F.ceil(F.length(p) / 3.0).cast("long"))
+        .otherwise(F.lit(1)),
+    )
+    return df.withColumn("n_pieces", F.size(pieces).cast("long")).withColumn(
+        "n_bpe_tokens", est
+    )
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, punctuation count/ratio, stopword count/
     ratio, mean token length — the standard cheap text-quality features.

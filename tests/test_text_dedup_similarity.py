@@ -44,6 +44,20 @@ class TestText:
         rows = {r.doc_id: r.lang_pred for r in text.with_lang_id(df).collect()}
         assert rows == {1: "en", 2: "unk"}
 
+    def test_bpe_token_estimate(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="hello world2024, don't!")]
+        )
+        r = text.with_bpe_token_estimate(df).first()
+        # pieces: hello|world|2024|,|don|'|t|!  -> 8
+        assert r.n_pieces == 8
+        # hello(2) world(2) 2024(2) ,(1) don(1) '(1) t(1) !(1) -> 11
+        assert r.n_bpe_tokens == 11
+        empty = text.with_bpe_token_estimate(
+            spark.createDataFrame([Row(doc_id=2, text="")])
+        ).first()
+        assert empty.n_pieces == 0 and empty.n_bpe_tokens == 0
+
     def test_fingerprint_deterministic(self, spark, docs):
         a = text.with_fingerprint(docs).select("doc_id", "fingerprint").collect()
         b = text.with_fingerprint(docs).select("doc_id", "fingerprint").collect()
