@@ -318,15 +318,22 @@ def embedding_near_duplicates(
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify on candidates only, with squared norms computed ONCE per
+    # vector (the per-pair re-computation was 3 array-dots per candidate
+    # — the dominant cost at millions of candidates)
+    qbase = base.select(
+        "vid", _qvec(F.col("emb")).alias("qv")
+    ).withColumn("nv", _dot(F.col("qv"), F.col("qv")))
     cand = cand_ids.join(
-        base.select(F.col("vid").alias("id_a"), F.col("emb").alias("emb_a")), "id_a"
-    ).join(base.select(F.col("vid").alias("id_b"), F.col("emb").alias("emb_b")), "id_b")
+        qbase.select(F.col("vid").alias("id_a"), F.col("qv").alias("qa"), F.col("nv").alias("na")),
+        "id_a",
+    ).join(
+        qbase.select(F.col("vid").alias("id_b"), F.col("qv").alias("qb"), F.col("nv").alias("nb")),
+        "id_b",
+    )
     cos = F.round(
-        _dot(_qvec(F.col("emb_a")), _qvec(F.col("emb_b")))
-        / (
-            F.sqrt(_dot(_qvec(F.col("emb_a")), _qvec(F.col("emb_a"))).cast("double"))
-            * F.sqrt(_dot(_qvec(F.col("emb_b")), _qvec(F.col("emb_b"))).cast("double"))
-        ),
+        _dot(F.col("qa"), F.col("qb"))
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
         6,
     )
     return cand.withColumn("cos_sim", cos).filter(F.col("cos_sim") >= threshold).select(
