@@ -36,6 +36,21 @@ def bump_version(version: str, bump_method: str) -> str:
     return f"{major}.{minor}.{patch}"
 
 
+def bulk_bump(version: str, n_minor: int, n_patch_after: int) -> str:
+    """Closed form of applying ``n_minor`` minor bumps then
+    ``n_patch_after`` patch bumps (a minor bump zeroes patch, so only
+    the trailing patches survive). O(1) — never loop bump_version per
+    registered source at raster-count scale."""
+    core = version.split("-")[0].split("+")[0]
+    major, minor, patch = (int(x) for x in core.split("."))
+    if n_minor > 0:
+        minor += n_minor
+        patch = n_patch_after
+    else:
+        patch += n_patch_after
+    return f"{major}.{minor}.{patch}"
+
+
 def copy_dataset(
     spark: SparkSession,
     src_path: str,
@@ -248,6 +263,7 @@ class CocoState:
             [(new_id, file_name, date_captured)], schemas.COCO_SOURCES
         )
         self.sources = self.sources.unionByName(new_row)
+        self.cached_counts["sources"] = new_id
         self.info["version"] = bump_version(self.info["version"], "minor")
         return new_id
 
@@ -278,6 +294,7 @@ class CocoState:
             self.sources = self.sources.unionByName(
                 spark.createDataFrame(new_rows, schemas.COCO_SOURCES)
             )
+            self.cached_counts["sources"] = len(existing)
         return out
 
     def register_sources_df(
@@ -288,14 +305,17 @@ class CocoState:
     ) -> DataFrame:
         """Distributed add_source (J4/X3): no per-source driver rows.
 
-        ``file_names`` is a one-column DataFrame (``file_name``). Matched
-        names reuse their id (patch bump each, coco_models.py:44-46); new
-        names get ids continuing from the existing count in sorted-name
-        order (minor bump each, :48-53). Bumps are applied in sorted
-        file_name order via *counts* — a minor bump zeroes patch, so the
-        final version is (minor + n_new, patches-after-last-new) — and the
-        method returns the (file_name, id) mapping DataFrame. Only O(1)
-        scalars ever reach the driver.
+        ``file_names`` is a one-column DataFrame (``file_name``) of
+        UNIQUE names (it is the images table's key); ``incoming_count``,
+        when given, must be its exact row count — the pipeline passes the
+        n_images aggregate. Matched names reuse their id (patch bump
+        each, coco_models.py:44-46); new names get ids continuing from
+        the existing count in sorted-name order (minor bump each,
+        :48-53). Bumps are applied in sorted file_name order via
+        *counts* in closed form (bulk_bump) — a minor bump zeroes patch,
+        so the final version is (minor + n_new, patches-after-last-new)
+        — and the method returns the (file_name, id) mapping DataFrame.
+        Only O(1) scalars ever reach the driver.
         """
         from geococo_spark.operators import ids as ids_ops
 
@@ -305,10 +325,7 @@ class CocoState:
             # join, no stats job — everything derived from the known
             # incoming count; the id window stays lazy in the main DAG
             incoming = file_names.select("file_name").distinct()
-            v = self.info["version"]
-            for _ in range(incoming_count):
-                v = bump_version(v, "minor")
-            self.info["version"] = v
+            self.info["version"] = bulk_bump(self.info["version"], incoming_count, 0)
             mapping = ids_ops.assign_sequential_ids(
                 incoming, ["file_name"], "id", n_rows=incoming_count
             ).select("file_name", F.col("id").cast("long"))
@@ -338,17 +355,9 @@ class CocoState:
             p_after = joined.filter(
                 F.col("_src_id").isNotNull() & (F.col("file_name") > F.lit(stats["max_new"]))
             ).count()
-            v = self.info["version"]
-            for _ in range(n_new):
-                v = bump_version(v, "minor")
-            for _ in range(p_after):
-                v = bump_version(v, "patch")
-            self.info["version"] = v
+            self.info["version"] = bulk_bump(self.info["version"], n_new, p_after)
         else:
-            v = self.info["version"]
-            for _ in range(n_matched):
-                v = bump_version(v, "patch")
-            self.info["version"] = v
+            self.info["version"] = bulk_bump(self.info["version"], 0, n_matched)
         matched_map = joined.filter(F.col("_src_id").isNotNull()).select(
             "file_name", F.col("_src_id").cast("long").alias("id")
         )

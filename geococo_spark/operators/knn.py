@@ -72,10 +72,13 @@ def knn_assign(
         remaining = unmatched_labels
         r = rings
         while True:
+            # materialize each pass: the loop (and every downstream
+            # consumer) must not re-execute the chain of earlier
+            # geometry-distance joins on each action
             out = knn_assign(
                 remaining, tiles, cell_size, k=k, rings=r,
                 label_id=label_id, tile_id=tile_id, escalate=False,
-            )
+            ).localCheckpoint()
             outs = out if outs is None else outs.unionByName(out)
             r *= 2
             if r > max_rings:

@@ -8,6 +8,13 @@ is real and tested. The *codec arithmetic* runs on the engine's
 deterministic formats (kernels/codec.py); real cv2/PIL/ffmpeg codecs are
 gated behind try-imports there and raise a clearly-marked
 NotImplementedError when absent, per the driver's stub instruction.
+
+Batch sizing: these operators stream Arrow batches of RAW payload rows,
+so per-task memory ~= maxRecordsPerBatch x payload size (Spark has no
+byte-based Arrow batch bound — verified on 4.1). The session default
+(1024 rows, session.py) suits <=1 MB payloads; for multi-MB rasters or
+media build the session with ``get_spark(arrow_batch_rows=64)`` or set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly.
 """
 
 from __future__ import annotations
@@ -155,9 +162,12 @@ def extract_audio_features(
                     samples, sr = codec.decode_audio(bytes(raw))
                     mono = samples.astype(np.float64).mean(axis=0)
                     n = mono.shape[0]
-                    spec = np.abs(np.fft.rfft(mono))
-                    spec[0] = 0.0  # ignore DC
-                    dom = float(np.argmax(spec)) * sr / n if n else 0.0
+                    if n:
+                        spec = np.abs(np.fft.rfft(mono))
+                        spec[0] = 0.0  # ignore DC
+                        dom = float(np.argmax(spec)) * sr / n
+                    else:  # valid zero-sample clip is data, not an error
+                        dom = 0.0
                     rows.append(
                         {
                             "media_id": str(mid),

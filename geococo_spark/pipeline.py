@@ -251,13 +251,23 @@ def append_dataset(
         F.max(_overlap.cast("int")).alias("any_overlap"),
         F.min("image_id").alias("min_id"),
         F.max("image_id").alias("max_id"),
-        F.expr("bit_xor(xxhash64(image_id, phash, w, h))").alias("img_digest"),
+        # NULL crs must fail the guard like a mismatching crs (the old
+        # set-difference semantics) — countDistinct skips NULLs
+        F.max(F.col("crs").isNull().cast("int")).alias("has_null_crs"),
+        # digest includes the geotransform: shifted origins / changed
+        # resolution must bust the checkpoint, not silently reuse it
+        F.expr(
+            "bit_xor(xxhash64(image_id, phash, w, h, transform.a, transform.c, "
+            "transform.e, transform.f, nodata, bands))"
+        ).alias("img_digest"),
     ).first()
     _mark("images_agg")
     if int(img_agg["n_images"]) == 0:
         raise ValueError("images table is empty")
     if agg["crs"] is not None and (
-        int(img_agg["n_crs"]) > 1 or img_agg["crs"] != agg["crs"]
+        int(img_agg["n_crs"]) > 1
+        or int(img_agg["has_null_crs"] or 0) > 0
+        or img_agg["crs"] != agg["crs"]
     ):
         raise ValueError("CRS of input raster and labels don't match, exiting..")
     res = (float(img_agg["res_x"]), float(img_agg["res_y"]))
@@ -390,6 +400,8 @@ def append_dataset(
                 schema.width_window, schema.height_window,
                 schema.width_overlap, schema.height_overlap,
                 quantile, images_dir, out_fmt,
+                # attribute mapping changes category ids in kernel output
+                id_attribute, name_attribute, super_attribute,
             )
         )
         pairs_thin = ckpt.run("pairs", fingerprint, _pairs_thin, metrics)

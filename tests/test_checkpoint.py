@@ -113,3 +113,35 @@ class TestPipelineResume:
         with open(os.path.join(ckdir, "kernel_out", "manifest.json")) as fh:
             man = json.load(fh)
         assert man["metrics"]["annotations_emitted"] == 5
+
+    def test_transform_change_busts_checkpoint(self, spark, tmp_path):
+        """Same image ids/phash/counts but a SHIFTED geotransform must
+        miss the fingerprint (round-2 review: img_digest originally
+        hashed only id/phash/w/h)."""
+        from geococo_spark import schemas as sch
+
+        ckdir = str(tmp_path / "tck")
+        labels = datagen.labels_df(spark)
+
+        def run(transform):
+            rows = [list(r) for r in datagen.make_image_rows(1)]
+            rows[0][7] = transform
+            images = spark.createDataFrame([tuple(r) for r in rows], sch.IMAGES)
+            m = EngineMetrics(spark)
+            out = pipeline.append_dataset(
+                spark, CocoState.create(spark), images, labels, images_dir="d",
+                id_attribute="category_id", name_attribute="class_names",
+                checkpoint_dir=ckdir, metrics=m,
+            )
+            return out, m
+
+        out1, m1 = run((1.0, 0.0, 0.0, 0.0, -1.0, 0.0))
+        assert m1.snapshot()["annotations_emitted"] == 5
+        files1 = sorted(r["file_name"] for r in out1.images.collect())
+        # shift origin by 5 px: same labels land 5 px off in pixel space
+        # (in-tile bboxes are translation-invariant; the tile WINDOW
+        # offsets encoded in file_name are what must move)
+        out2, m2 = run((1.0, 0.0, -5.0, 0.0, -1.0, 0.0))
+        assert m2.snapshot()["annotations_emitted"] == 5, "stale checkpoint reused"
+        files2 = sorted(r["file_name"] for r in out2.images.collect())
+        assert files1 != files2

@@ -100,3 +100,12 @@ class TestAudio:
         r = multimodal.extract_audio_features(df).first()
         assert r.channels == 2 and r.n_samples == sr
         assert r.rms == 0.0  # channels cancel in the mono mixdown
+
+
+def test_zero_sample_audio_is_data_not_error(spark):
+    import numpy as np
+    empty = codec.encode_audio(np.zeros((1, 0), np.int16), 44100)
+    df = spark.createDataFrame([Row(media_id="e", bytes=bytearray(empty))])
+    r = multimodal.extract_audio_features(df).first()
+    assert r.decode_error is None
+    assert r.n_samples == 0 and r.duration_s == 0.0 and r.dominant_freq_hz == 0.0

@@ -137,3 +137,39 @@ class TestDistributedSourceRegistration:
         # the sources table itself gained exactly the new names
         rows = {(r.id, r.file_name) for r in state.sources.collect()}
         assert rows == {(expect_ids[fn], fn) for fn in set(existing) | set(incoming)}
+
+
+class TestReviewRegressions:
+    def test_bulk_bump_matches_looped(self):
+        from geococo_spark.coco import bulk_bump, bump_version
+        for start in ("0.0.0", "1.2.3", "9.0.7"):
+            for n_minor in (0, 1, 5):
+                for n_patch in (0, 2, 7):
+                    v = start
+                    for _ in range(n_minor):
+                        v = bump_version(v, "minor")
+                    for _ in range(n_patch):
+                        v = bump_version(v, "patch")
+                    assert bulk_bump(start, n_minor, n_patch) == v
+
+    def test_register_source_then_distributed_keeps_ids_unique(self, spark):
+        """Mixing the dict-based register_source with the distributed
+        path must not reuse ids (cache-staleness regression from the
+        round-2 review)."""
+        from datetime import datetime
+        from geococo_spark.coco import CocoState
+
+        state = CocoState.create(spark)
+        first = state.register_source("a.tif", None)
+        assert first == 1
+        mapping = {
+            r.file_name: r.id
+            for r in state.register_sources_df(
+                spark.createDataFrame([("a.tif",), ("b.tif",)], ["file_name"]),
+                datetime(2021, 1, 1),
+                incoming_count=2,
+            ).collect()
+        }
+        assert mapping == {"a.tif": 1, "b.tif": 2}  # 'a' reused, 'b' new
+        rows = sorted((r.id, r.file_name) for r in state.sources.collect())
+        assert rows == [(1, "a.tif"), (2, "b.tif")]
