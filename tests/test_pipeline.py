@@ -114,6 +114,41 @@ class TestAppendDataset:
         with pytest.raises(ValueError, match="don't overlap"):
             pipeline.append_dataset(spark, state, images, labels)
 
+    def test_multipolygon_label_iscrowd(self, spark):
+        """A MultiPolygon label (two disjoint parts) produces ONE
+        annotation with iscrowd=1 (R7, reference coco_processing.py:173)
+        whose mask covers both parts."""
+        from geococo_spark.geometry import wkb as _wkb
+
+        r1 = _wkb.buffer_point(20.0, -20.0, 3.0)
+        r2 = _wkb.buffer_point(60.0, -60.0, 2.0)
+        multi = _wkb.encode_multipolygon([[r1], [r2]])
+        single = _wkb.encode_polygon([_wkb.buffer_point(40.0, -40.0, 2.0)])
+        rows = [
+            (0, bytearray(multi), 1, "multi", None, datagen.CRS,
+             17.0, -63.0, 63.0, -17.0, "MultiPolygon"),
+            (1, bytearray(single), 2, "single", None, datagen.CRS,
+             38.0, -42.0, 42.0, -38.0, "Polygon"),
+        ]
+        labels = spark.createDataFrame(rows, datagen.schemas.LABELS)
+        state = pipeline.append_dataset(
+            spark, CocoState.create(spark), datagen.images_df(spark, 1), labels,
+            images_dir="d", id_attribute="category_id", name_attribute="class_names",
+        )
+        anns = {r["category_id"]: r for r in state.annotations.collect()}
+        assert anns[1]["iscrowd"] == 1 and anns[2]["iscrowd"] == 0
+        # area covers BOTH parts: r=3 circle alone is < 40 px, two parts > 40
+        from geococo_spark.geometry import rle as _rle
+
+        mask = _rle.decode(
+            {"size": list(anns[1]["segmentation"]["size"]),
+             "counts": bytes(anns[1]["segmentation"]["counts"])}
+        )
+        assert mask[18:23, 18:23].any() and mask[58:63, 58:63].any()
+        # bbox spans both disjoint parts
+        x, y, w, h = anns[1]["bbox"]
+        assert w > 30 and h > 30
+
     def test_south_up_raster_end_to_end(self, spark):
         """A south-up raster (e > 0, same world extent) produces the same
         annotations as the north-up one — pixel rows mirrored. Round 1
