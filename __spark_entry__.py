@@ -964,13 +964,18 @@ FROM documents
 SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS canonical_id
 FROM documents GROUP BY md5(text)
 """,
+        # mirrors dedup.ngram_jaccard_pairs incl. the hot-shingle document-
+        # frequency cap (df <= 10000; n_sh keeps the FULL shingle count)
         "q_ngram_jaccard": r"""
 WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
 sh AS (SELECT doc_id,
               list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
        FROM toks),
-ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh)
+ex0 AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+ex AS (SELECT doc_id, n_sh, shingle
+       FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex0)
+       WHERE df <= 10000)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
        round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) AS jaccard
 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -104,43 +104,55 @@ def lsh_topk(
     """Approximate top-k: same output shape as brute_force_topk but
     candidates are restricted to vectors sharing >= 1 LSH bucket with the
     probe across ``n_tables`` hyperplane tables. Exact re-rank on the
-    candidate set; recall measured against brute force in the tests."""
+    candidate set; recall measured against brute force in the tests.
+
+    Scale shape (VERDICT r02 #3, mirroring embedding_near_duplicates):
+    the banded join carries *ids only* — (id, t, b) rows — so embeddings
+    never ride the xn_tables explode or the candidate-dedupe exchange;
+    quantized embeddings + squared norms (computed once per vector)
+    re-attach to the deduped candidate set afterwards."""
     sigs = [hyperplane_signature_udf(dim, n_planes, seed=100 + t) for t in range(n_tables)]
 
-    # bucket per table: tag with table index to avoid cross-table collisions
+    # bucket per table: tag with table index to avoid cross-table
+    # collisions; project the ids ONLY into the explode
     def with_buckets_tagged(df, ident, renamed):
-        out = df.select(F.col(ident).alias(renamed), F.col(emb_col).alias(f"{renamed}_emb"))
         tagged = F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(t).alias("t"), sigs[t](F.col(f"{renamed}_emb")).alias("b"))
+                    F.struct(F.lit(t).alias("t"), sigs[t](F.col(emb_col)).alias("b"))
                     for t in range(len(sigs))
                 ]
             )
         ).alias("tb")
-        return out.withColumn("tb", tagged).select(
-            renamed, f"{renamed}_emb", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+        return df.select(F.col(ident).alias(renamed), tagged).select(
+            renamed, F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
         )
 
     vb = with_buckets_tagged(vectors, id_col, "vec_id")
     pb = with_buckets_tagged(probes, probe_id_col, "probe_id")
-    cand = (
+    cand_ids = (
         vb.join(F.broadcast(pb), ["t", "b"], "inner")
         .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
         .dropDuplicates(["probe_id", "vec_id"])
     )
-    scored = cand.withColumn(
-        "cos_sim",
-        F.round(
-            _dot(_qvec(F.col("vec_id_emb")), _qvec(F.col("probe_id_emb")))
-            / (
-                F.sqrt(_dot(_qvec(F.col("vec_id_emb")), _qvec(F.col("vec_id_emb"))).cast("double"))
-                * F.sqrt(
-                    _dot(_qvec(F.col("probe_id_emb")), _qvec(F.col("probe_id_emb"))).cast("double")
-                )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), _qvec(F.col(emb_col)).alias("qv")
+    ).withColumn("nv", _dot(F.col("qv"), F.col("qv")))
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), _qvec(F.col(emb_col)).alias("qp")
+    ).withColumn("np_", _dot(F.col("qp"), F.col("qp")))
+    scored = (
+        cand_ids.join(v, "vec_id")
+        .join(F.broadcast(p), "probe_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qv"), F.col("qp"))
+                / (F.sqrt(F.col("nv").cast("double")) * F.sqrt(F.col("np_").cast("double"))),
+                6,
             ),
-            6,
-        ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -195,6 +207,11 @@ def train_ivf_centroids(
         ],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        raise ValueError(
+            "train_ivf_centroids: the vectors table produced an empty sample "
+            "(no rows, or all-null embeddings) — cannot train a coarse quantizer"
+        )
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.maximum(norms, 1e-12)
     rng = np.random.RandomState(seed)

@@ -243,6 +243,10 @@ def append_dataset(
     ) & (F.least(F.col("h").cast("double"), _row1) > F.greatest(F.lit(0.0), _row0))
     img_agg = images.agg(
         F.count(F.lit(1)).alias("n_images"),
+        # image_id is the table key; a duplicate would silently inflate
+        # source ids + version bumps in register_sources_df's fresh-state
+        # fast path (ADVICE r02) — verified here in the same agg pass
+        F.countDistinct("image_id").alias("n_distinct_ids"),
         F.countDistinct("crs").alias("n_crs"),
         F.min("crs").alias("crs"),
         # reference uses the FIRST raster's resolution (by image order)
@@ -264,6 +268,12 @@ def append_dataset(
     _mark("images_agg")
     if int(img_agg["n_images"]) == 0:
         raise ValueError("images table is empty")
+    if int(img_agg["n_distinct_ids"]) != int(img_agg["n_images"]):
+        raise ValueError(
+            "images table carries duplicate image_id values "
+            f"({int(img_agg['n_images']) - int(img_agg['n_distinct_ids'])} dupes) — "
+            "image_id is the table key"
+        )
     if agg["crs"] is not None and (
         int(img_agg["n_crs"]) > 1
         or int(img_agg["has_null_crs"] or 0) > 0

@@ -114,6 +114,17 @@ class TestAppendDataset:
         with pytest.raises(ValueError, match="don't overlap"):
             pipeline.append_dataset(spark, state, images, labels)
 
+    def test_duplicate_image_id_raises(self, spark):
+        """ADVICE r02: a duplicate image_id would inflate source ids and
+        version bumps in the fresh-state registration fast path — the
+        prologue must reject it (image_id is the table key)."""
+        state = CocoState.create(spark)
+        one = datagen.images_df(spark, 1)
+        images = one.unionByName(one)
+        labels = datagen.labels_df(spark)
+        with pytest.raises(ValueError, match="duplicate image_id"):
+            pipeline.append_dataset(spark, state, images, labels)
+
     def test_multipolygon_label_iscrowd(self, spark):
         """A MultiPolygon label (two disjoint parts) produces ONE
         annotation with iscrowd=1 (R7, reference coco_processing.py:173)

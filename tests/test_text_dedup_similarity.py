@@ -79,6 +79,19 @@ class TestExactDedup:
         assert len(groups) == 1
         g = groups[0]
         assert g.n_dups == 3 and g.canonical_id == 0 and g.dup_ids == [0, 2, 3]
+        assert g.dup_ids_truncated is False
+
+    def test_dup_ids_cap_is_visible(self, spark):
+        """ADVICE r02: groups larger than max_dup_ids keep exact n_dups
+        but flag the truncated id list, so delete-by-iteration callers
+        can detect under-coverage."""
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="same text") for i in range(6)]
+            + [Row(doc_id=100, text="other")]
+        )
+        g = dedup.exact_duplicates(df, max_dup_ids=2).collect()[0]
+        assert g.n_dups == 6 and g.dup_ids == [0, 1]
+        assert g.dup_ids_truncated is True
 
 
 class TestJaccard:
@@ -102,6 +115,43 @@ class TestJaccard:
         rows = dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()
         assert len(rows) == 1
         assert rows[0].jaccard == pytest.approx(1 / 3)
+
+    def test_hot_shingle_df_cap(self, spark):
+        """VERDICT r02 #2: a shingle present in EVERY doc must not drive
+        the self-join quadratic. With the cap it is excluded from the
+        join; pairs whose only overlap was the hot shingle disappear,
+        genuinely-similar pairs survive (denominator keeps full counts)."""
+        hot = "of the and"  # one shingle shared by all docs
+        docs = [Row(doc_id=i, text=f"{hot} u{i} v{i} w{i} x{i}") for i in range(40)]
+        # one genuinely near-duplicate pair on top
+        docs += [
+            Row(doc_id=100, text=f"{hot} p q r s t"),
+            Row(doc_id=101, text=f"{hot} p q r s z"),
+        ]
+        df = spark.createDataFrame(docs)
+        capped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=10)
+        rows = capped.collect()
+        # the hot-shingle-only pairs (every i<j combination) are gone
+        assert {(r.id_a, r.id_b) for r in rows} == {(100, 101)}
+        r = rows[0]
+        # common counts only surviving shingles (4 of "p q r", "q r s",
+        # "r s t/z" windows minus the divergent tail): denominator keeps
+        # the FULL per-doc shingle counts (6 each incl. the hot one)
+        assert r.common == 4 and r.jaccard == pytest.approx(4 / (6 + 6 - 4))
+        # cap above the corpus df -> identical to the uncapped result
+        uncapped = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.2, max_shingle_df=None
+            ).collect()
+        }
+        high_cap = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.2, max_shingle_df=1000
+            ).collect()
+        }
+        assert high_cap == uncapped
 
 
 class TestMinHashLSH:
@@ -192,6 +242,27 @@ class TestSimilarity:
         found = {(r.probe_id, r.vec_id) for r in approx if r.rank == 1}
         expected = {(p * 100, p * 100 + 1) for p in range(5)}
         assert len(found & expected) >= 4  # >=80% of planted pairs recovered
+
+    def test_lsh_topk_banded_join_is_ids_only(self, spark):
+        """VERDICT r02 #3: no embedding array may ride the xn_tables
+        band explode or the candidate-dedupe exchange — embeddings
+        re-attach to the deduped candidate set only."""
+        rng = np.random.RandomState(5)
+        rows = [Row(vec_id=i, embedding=[float(x) for x in rng.randn(16)]) for i in range(50)]
+        vectors = spark.createDataFrame(rows)
+        probes = vectors.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding")
+        out = similarity.lsh_topk(vectors, probes, dim=16, k=3, n_planes=6, n_tables=4)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            # Generate = the band explode; the dedupe Aggregate groups on
+            # (probe_id, vec_id) — neither may project embedding columns
+            if "Generate explode" in line or "probe_id#" in line and "Aggregate" in line:
+                assert "embedding" not in line, line
+
+    def test_ivf_centroids_empty_input_raises(self, spark):
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty sample"):
+            similarity.train_ivf_centroids(empty, dim=8)
 
     def test_ivf_topk_recall_on_planted_neighbors(self, spark):
         """IVF path recovers planted near-neighbors like lsh_topk: the
