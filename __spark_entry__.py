@@ -538,6 +538,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             embs, dim=64, threshold=0.42, n_planes=6, n_tables=10
         )
 
+    def q_coco_skeleton(spark, sf_dir):
+        # the flagship pipeline's RELATIONAL skeleton, oracle-checkable
+        # (VERDICT r02 #5): which tiles exist (grid x spatial join),
+        # their sequential image ids (W1), per-tile annotation counts,
+        # sorted category sets, and the annotation-id ranges (W2) — i.e.
+        # everything upstream of the rasterization kernel, computed with
+        # the same engine operators the pipeline uses
+        pairs = _bbox_pairs(spark, sf_dir).withColumn(
+            "category_id", (F.col("label_id") % 8 + 1).cast("int")
+        )
+        anns = ids.assign_sequential_ids(
+            pairs, ["ti", "tj", "category_id", "label_id"], "ann_id"
+        )
+        matched = pairs.select("tile_id", "ti", "tj").distinct()
+        imgs = ids.assign_sequential_ids(matched, ["ti", "tj"], "image_seq")
+        per_tile = anns.groupBy("tile_id").agg(
+            F.count(F.lit(1)).alias("n_anns"),
+            F.concat_ws(",", F.sort_array(F.collect_set("category_id"))).alias("cats"),
+            F.min("ann_id").alias("min_ann_id"),
+            F.max("ann_id").alias("max_ann_id"),
+        )
+        return imgs.join(per_tile, "tile_id").select(
+            "tile_id", "image_seq", "n_anns", "cats", "min_ann_id", "max_ann_id"
+        )
+
     def q_coco_pipeline(spark, sf_dir):
         return entry(spark)
 
@@ -574,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_coco_skeleton": q_coco_skeleton,
         "q_coco_pipeline": q_coco_pipeline,
     }
 
@@ -1013,6 +1039,23 @@ ranked AS (
               AS BIGINT) AS rank
   FROM scored)
 SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+        "q_coco_skeleton": f"""
+WITH pairs AS ({_PAIRS_SQL}),
+p2 AS (SELECT *, CAST(label_id % 8 + 1 AS INT) AS category_id FROM pairs),
+anns AS (SELECT *, CAST(row_number() OVER (ORDER BY ti, tj, category_id, label_id)
+                        AS BIGINT) AS ann_id
+         FROM p2),
+matched AS (SELECT DISTINCT tile_id, ti, tj FROM pairs),
+imgs AS (SELECT tile_id, CAST(row_number() OVER (ORDER BY ti, tj) AS BIGINT) AS image_seq
+         FROM matched),
+per_tile AS (
+  SELECT tile_id, count(*) AS n_anns,
+         array_to_string(list_sort(list(DISTINCT category_id)), ',') AS cats,
+         min(ann_id) AS min_ann_id, max(ann_id) AS max_ann_id
+  FROM anns GROUP BY tile_id)
+SELECT i.tile_id, i.image_seq, p.n_anns, p.cats, p.min_ann_id, p.max_ann_id
+FROM imgs i JOIN per_tile p ON i.tile_id = p.tile_id
 """,
         "q_simhash": _simhash_oracle_sql(max_hamming=3),
         "q_minhash_lsh": _minhash_oracle_sql(

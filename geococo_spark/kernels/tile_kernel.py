@@ -31,17 +31,66 @@ from geococo_spark.geometry import rasterize, rle, wkb
 from geococo_spark.kernels import codec
 
 
+def sink_tile_payload(
+    tile_sink_dir: str, image_key: str, band: int, payload_rows: list[tuple]
+) -> str:
+    """Write one kernel group's tile payloads (image_key, tile_name,
+    tile_bytes, caption) as a parquet file INSIDE the kernel stage, so
+    the (fat) tile bytes never re-cross the Arrow boundary back into the
+    JVM (VERDICT r02 #1 — ~800 MB of tile bytes per 1024-image run were
+    the dominant non-UDF cost at 32 slots).
+
+    Idempotent under task retry/speculation: the file name is
+    deterministic per (image_key, band), the kernel output is
+    deterministic, and the write goes to a hidden tmp name followed by
+    an atomic rename — a re-run overwrites with identical bytes (same
+    contract as an object-store PUT). On a real cluster the directory
+    must be shared storage (the same requirement as checkpoint_dir).
+    """
+    import hashlib
+    import os
+    import re
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(tile_sink_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", image_key)[:80]
+    digest = hashlib.md5(image_key.encode("utf-8")).hexdigest()[:8]
+    final = os.path.join(data_dir, f"tiles_{safe}_{digest}_b{int(band)}.parquet")
+    tbl = pa.table(
+        {
+            "image_key": pa.array([r[0] for r in payload_rows], pa.string()),
+            "tile_name": pa.array([r[1] for r in payload_rows], pa.string()),
+            "tile_bytes": pa.array([r[2] for r in payload_rows], pa.binary()),
+            "caption": pa.array([r[3] for r in payload_rows], pa.string()),
+        }
+    )
+    # leading dot: Spark's parquet reader ignores hidden files, so a
+    # crashed half-written tmp can never poison a later read
+    tmp = os.path.join(data_dir, f".{os.path.basename(final)}.tmp-{uuid.uuid4().hex}")
+    pq.write_table(tbl, tmp, compression="snappy")
+    os.replace(tmp, final)
+    return final
+
+
 def run_tile_kernel(
     image_pdf: pd.DataFrame,
     pairs_pdf: pd.DataFrame,
     out_fmt: str = "jpeg",
     acc: dict | None = None,
+    tile_sink_dir: str | None = None,
 ) -> pd.DataFrame:
     """Kernel body for ONE source image group (cogrouped applyInPandas).
 
     :param image_pdf: exactly one row of the images table
     :param pairs_pdf: matched (tile, label) pairs for this image
     :param acc: optional dict of Spark accumulators (EngineMetrics.acc)
+    :param tile_sink_dir: when set, tile payload bytes are written to
+        parquet in-stage (see :func:`sink_tile_payload`) and the emitted
+        tile rows carry ``tile_bytes = caption = None``
     :return: KERNEL_OUT rows (tile rows + annotation rows)
     """
 
@@ -201,6 +250,19 @@ def run_tile_kernel(
                     "iscrowd": 1 if gtype == "MultiPolygon" else 0,  # R7
                 }
             )
+    if tile_sink_dir is not None:
+        band = int(img["band"]) if "band" in image_pdf.columns else 0
+        payload = [
+            (r["image_key"], r["tile_name"], r["tile_bytes"], r["caption"])
+            for r in out
+            if r["row_type"] == "tile"
+        ]
+        if payload:
+            sink_tile_payload(tile_sink_dir, image_key, band, payload)
+        for r in out:
+            if r["row_type"] == "tile":
+                r["tile_bytes"] = None
+                r["caption"] = None
     return pd.DataFrame(out, columns=[f.name for f in _kernel_fields()])
 
 
@@ -210,8 +272,11 @@ def _kernel_fields():
     return KERNEL_OUT.fields
 
 
-def cogroup_kernel(out_fmt: str = "jpeg", acc: dict | None = None):
-    """Factory for the applyInPandas function (cogrouped by image_id).
+def cogroup_kernel(
+    out_fmt: str = "jpeg", acc: dict | None = None, tile_sink_dir: str | None = None
+):
+    """Factory for the applyInPandas function (cogrouped by image_id, or
+    by (image_id, band) when the pipeline band-splits mega-rasters).
 
     ``acc`` (accumulator dict) serializes into the worker closure so the
     kernel can report engine metrics (checkpoint.EngineMetrics)."""
@@ -220,7 +285,9 @@ def cogroup_kernel(out_fmt: str = "jpeg", acc: dict | None = None):
         import time as _time
 
         t0 = _time.perf_counter()
-        out = run_tile_kernel(image_pdf, pairs_pdf, out_fmt=out_fmt, acc=acc)
+        out = run_tile_kernel(
+            image_pdf, pairs_pdf, out_fmt=out_fmt, acc=acc, tile_sink_dir=tile_sink_dir
+        )
         if acc is not None and "kernel_ms" in acc:
             acc["kernel_ms"].add(int((_time.perf_counter() - t0) * 1000))
         return out

@@ -10,15 +10,20 @@ gated behind try-imports there and raise a clearly-marked
 NotImplementedError when absent, per the driver's stub instruction.
 
 Batch sizing: these operators stream Arrow batches of RAW payload rows,
-so per-task memory ~= maxRecordsPerBatch x payload size (Spark has no
-byte-based Arrow batch bound — verified on 4.1). The session default
-(1024 rows, session.py) suits <=1 MB payloads; for multi-MB rasters or
-media build the session with ``get_spark(arrow_batch_rows=64)`` or set
-``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly.
+so per-task memory ~= maxRecordsPerBatch x payload size. Spark 4.1 has
+no byte-based Arrow bound for mapInPandas (``maxBytesPerBatch`` exists
+but applies only to transformWithState — probed in the worker source),
+and the records conf is read at ACTION time, so a per-plan override is
+impossible. The session default (1024 rows, session.py) suits <=1 MB
+payloads; for multi-MB rasters or media wrap the ACTION in
+:func:`bounded_arrow_batches`, which sizes rows-per-batch from an
+expected-bytes-per-row hint and restores the session conf afterwards
+(ADVICE r02 — the flat 1024 default was a multi-GB batch risk).
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator
 
 import numpy as np
@@ -37,6 +42,48 @@ from pyspark.sql.types import (
 )
 
 from geococo_spark.kernels import codec
+
+
+def arrow_rows_for_payload(
+    payload_bytes: int, target_batch_bytes: int = 64 << 20, lo: int = 8, hi: int = 1024
+) -> int:
+    """Rows per Arrow batch such that rows x payload ~= target bytes,
+    clamped to [lo, hi] (tiny batches thrash per-batch overhead;
+    huge ones re-open the OOM risk the bound exists to close)."""
+    if payload_bytes <= 0:
+        return hi
+    return max(lo, min(hi, target_batch_bytes // payload_bytes))
+
+
+@contextmanager
+def bounded_arrow_batches(spark, payload_bytes: int, target_batch_bytes: int = 64 << 20):
+    """Scope ``maxRecordsPerBatch`` to a fat-payload ACTION so per-task
+    Arrow batch memory stays ~= ``target_batch_bytes`` regardless of row
+    width, then restore the session default.
+
+    Session-scoped by necessity (the conf is read when the action runs,
+    not when the plan is built); a concurrent query in the same session
+    momentarily sees the smaller batch size too — the safe direction.
+
+    Usage::
+
+        with bounded_arrow_batches(spark, payload_bytes=8 << 20):
+            extract_image_features(rasters).write.parquet(out)
+    """
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(arrow_rows_for_payload(payload_bytes, target_batch_bytes)))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
 
 IMAGE_FEATURES = StructType(
     [

@@ -174,6 +174,16 @@ def spatial_join(
 
     joined = joined.filter(_bbox_overlap())
     if exact:
+        # the exact residual stays a SINGLE pipelined UDF filter inside
+        # the join stage. A "thin" split — containment decided JVM-side,
+        # WKB re-attached only to boundary straddlers — was built and
+        # A/B/A-profiled in round 3 and REGRESSED the pairs stage 3x at
+        # local[32] (7.3s -> 19.7-24.7s at 1024 images): the extra
+        # candidate materialization + straddler re-join cost far more
+        # than the WKB-through-Arrow it saved (the WKB is on the
+        # broadcast side and never rides a shuffle; the in-UDF
+        # containment fast path already skips decoding for ~85% of
+        # rows). Negative result kept here so it isn't retried.
         joined = joined.filter(
             _box_intersects_wkb(
                 F.col("tile_minx"),

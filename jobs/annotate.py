@@ -30,6 +30,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--window", default="256x256")
     ap.add_argument("--id-attribute", default="category_id")
     ap.add_argument("--name-attribute", default=None)
+    ap.add_argument(
+        "--tile-sink",
+        default=None,
+        help="write tile payload bytes to parquet INSIDE the kernel stage "
+        "(in-stage sink; skips the post-hoc z-order tile rewrite)",
+    )
+    ap.add_argument(
+        "--band-split-pairs",
+        type=int,
+        default=None,
+        help="split images with more matched pairs than this over "
+        "multiple kernel tasks (mega-raster granularity)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -65,6 +78,8 @@ def main(argv: list[str] | None = None) -> None:
         name_attribute=args.name_attribute,
         checkpoint_dir=args.checkpoint,
         metrics=metrics,
+        tile_sink_dir=args.tile_sink,
+        band_split_pairs=args.band_split_pairs,
     )
     from geococo_spark.sinks import write_table
 
@@ -72,7 +87,7 @@ def main(argv: list[str] | None = None) -> None:
     write_table(state.annotations, f"{args.output}/coco_annotations")
     write_table(state.categories, f"{args.output}/coco_categories")
     write_table(state.sources, f"{args.output}/coco_sources")
-    if state.tiles is not None:
+    if state.tiles is not None and args.tile_sink is None:
         # Z-order the tile payload layout: neighboring tiles land in the
         # same files with disjoint z ranges, so spatial range reads prune
         # files/row-groups via parquet min-max stats (sinks.py)

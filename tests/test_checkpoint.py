@@ -99,6 +99,52 @@ class TestPipelineResume:
         assert areas2 != areas1
         assert max(areas2) > max(areas1)
 
+    def test_exact_digest_busts_checkpoint_on_phash_collision(self, spark, tmp_path):
+        """ADVICE r02: phash collides (any uniform raster hashes alike),
+        so changed bytes with unchanged metadata silently resume stale
+        kernel output under the default trusted-phash contract. With
+        checkpoint_exact_digest=True the byte change must miss the
+        fingerprint and recompute."""
+        import numpy as np
+
+        from geococo_spark import schemas as sch
+        from geococo_spark.kernels import codec as _codec
+
+        labels = datagen.labels_df(spark)
+
+        def uniform_images(fill):
+            rows = [list(r) for r in datagen.make_image_rows(1)]
+            data = np.full((3, 256, 256), fill, dtype=np.uint8)
+            rows[0][1] = bytearray(_codec.encode_image(data, "raw"))
+            rows[0][6] = 0  # identical phash for both fills (the collision)
+            return spark.createDataFrame([tuple(r) for r in rows], sch.IMAGES)
+
+        def run(fill, ckdir, exact):
+            m = EngineMetrics(spark)
+            out = pipeline.append_dataset(
+                spark, CocoState.create(spark), uniform_images(fill), labels,
+                images_dir="d", id_attribute="category_id",
+                name_attribute="class_names", checkpoint_dir=ckdir, metrics=m,
+                checkpoint_exact_digest=exact,
+            )
+            return out, m
+
+        # exact mode: byte change -> recompute, tile pixels move
+        ck = str(tmp_path / "eck")
+        out1, m1 = run(10, ck, exact=True)
+        assert m1.snapshot()["annotations_emitted"] == 5
+        b1 = bytes(out1.tiles.select("tile_bytes").first()[0])
+        out2, m2 = run(200, ck, exact=True)
+        assert m2.snapshot()["annotations_emitted"] == 5, "stale checkpoint reused"
+        b2 = bytes(out2.tiles.select("tile_bytes").first()[0])
+        assert b1 != b2
+        # default trusted-phash contract: the same change IS reused
+        # (documented tradeoff — no full byte scan in the prologue)
+        ck2 = str(tmp_path / "tck2")
+        run(10, ck2, exact=False)
+        _, m4 = run(200, ck2, exact=False)
+        assert m4.snapshot()["annotations_emitted"] == 0
+
     def test_manifest_metrics_flushed(self, spark, tmp_path):
         images = datagen.images_df(spark, 1)
         labels = datagen.labels_df(spark)

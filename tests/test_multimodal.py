@@ -102,6 +102,39 @@ class TestAudio:
         assert r.rms == 0.0  # channels cancel in the mono mixdown
 
 
+class TestBoundedArrowBatches:
+    def test_rows_for_payload_sizing(self):
+        from geococo_spark.operators.multimodal import arrow_rows_for_payload
+
+        assert arrow_rows_for_payload(1 << 20) == 64          # 64MB / 1MB
+        assert arrow_rows_for_payload(32 << 20) == 8          # clamped lo
+        assert arrow_rows_for_payload(100) == 1024            # clamped hi
+        assert arrow_rows_for_payload(0) == 1024
+
+    def test_scope_bounds_batches_and_restores(self, spark):
+        """ADVICE r02: per-task Arrow batch memory for fat-payload
+        mapInPandas is rows x payload; the scope must actually shrink the
+        batches the UDF sees and restore the session conf afterwards."""
+        import pandas as pd
+
+        from geococo_spark.operators.multimodal import bounded_arrow_batches
+
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        before = spark.conf.get(key)
+        df = spark.range(64).selectExpr("id", "repeat('x', 100) AS payload")
+
+        def batch_sizes(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        # pretend each row is 8 MB -> 64MB target / 8MB = 8 rows per batch
+        with bounded_arrow_batches(spark, payload_bytes=8 << 20):
+            assert spark.conf.get(key) == "8"
+            sizes = [r.n for r in df.repartition(1).mapInPandas(batch_sizes, "n long").collect()]
+        assert max(sizes) <= 8 and sum(sizes) == 64
+        assert spark.conf.get(key) == before
+
+
 def test_zero_sample_audio_is_data_not_error(spark):
     import numpy as np
     empty = codec.encode_audio(np.zeros((1, 0), np.int16), 44100)

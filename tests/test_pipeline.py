@@ -270,6 +270,119 @@ class TestAppendContract:
         assert cats == [(1, "One"), (2, "Two"), (5, "Five"), (8, "Eight")]
 
 
+def _state_snapshot(state):
+    """Order-insensitive, byte-level content of the COCO output tables."""
+    imgs = sorted(tuple(r) for r in state.images.collect())
+    anns = sorted(
+        (r.id, r.image_id, r.category_id, list(r.segmentation["size"]),
+         bytes(r.segmentation["counts"]), r.area, list(r.bbox), r.iscrowd)
+        for r in state.annotations.collect()
+    )
+    tiles = sorted(
+        (r.id, r.file_name, r.image_key, r.tile_name,
+         bytes(r.tile_bytes), r.caption)
+        for r in state.tiles.collect()
+    )
+    return imgs, anns, tiles
+
+
+class TestKernelScaleShape:
+    """Round-3 scale work: in-stage tile sinking (VERDICT r02 #1) and
+    mega-raster band splitting (VERDICT r02 #8)."""
+
+    def _run(self, spark, **kw):
+        state = CocoState.create(spark)
+        images = datagen.images_df(spark, 2)
+        labels = datagen.labels_df(spark)
+        return pipeline.append_dataset(
+            spark, state, images, labels, images_dir="d",
+            window_bounds=[(100, 100), (256, 256)],
+            id_attribute="category_id", name_attribute="class_names", **kw,
+        )
+
+    def test_tile_sink_output_identical(self, spark, tmp_path):
+        """Sink mode must change WHERE tile bytes travel, never WHAT the
+        engine outputs: state.tiles (incl. payload bytes + caption) and
+        the COCO tables are byte-identical to the in-row mode."""
+        import os
+
+        base = _state_snapshot(self._run(spark))
+        sink_dir = str(tmp_path / "tilesink")
+        sunk = self._run(spark, tile_sink_dir=sink_dir)
+        files = [f for f in os.listdir(os.path.join(sink_dir, "data")) if f.endswith(".parquet")]
+        assert files, "kernel wrote no in-stage payload files"
+        assert not [f for f in os.listdir(os.path.join(sink_dir, "data")) if f.startswith(".")]
+        assert _state_snapshot(sunk) == base
+
+    def test_band_split_output_identical(self, spark, tmp_path):
+        base = _state_snapshot(self._run(spark))
+        split = self._run(spark, band_split_pairs=2)  # force several bands
+        assert _state_snapshot(split) == base
+        # and the two scale features compose
+        both = self._run(
+            spark, band_split_pairs=2, tile_sink_dir=str(tmp_path / "ts2")
+        )
+        assert _state_snapshot(both) == base
+
+    def test_band_split_spreads_one_image_over_tasks(self, spark):
+        """One image carrying far more pairs than the median must fan
+        out over >1 kernel task (the mega-raster can no longer serialize
+        the stage), with every pair delivered exactly once."""
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pairs = spark.createDataFrame(
+            [("img0", c * 10, r * 10, 10, 10, c * 10 + r, 1)
+             for c in range(20) for r in range(10)],
+            "image_id string, col_off long, row_off long, width long, "
+            "height long, label_idx long, id int",
+        )
+        images = spark.createDataFrame(
+            [("img0", bytearray(b"x"))], "image_id string, bytes binary"
+        )
+        img_cg, pairs_banded = pipeline.banded_cogroup_inputs(
+            images, pairs, band_split_pairs=25
+        )
+        assert pairs_banded.select("band").distinct().count() > 1
+        assert img_cg.count() == 8  # ceil(200 / 25) image replicas
+
+        def probe(img_pdf, pairs_pdf):
+            return pd.DataFrame(
+                {"pid": [TaskContext.get().partitionId()], "n": [len(pairs_pdf)]}
+            )
+
+        # AQE coalesces this byte-tiny test shuffle into ONE partition;
+        # at production sizes each kernel partition carries MBs of image
+        # bytes and is never coalesced — disable it to observe the
+        # partitioning the bands actually induce
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = (
+                img_cg.groupBy("image_id", "band")
+                .cogroup(pairs_banded.groupBy("image_id", "band"))
+                .applyInPandas(probe, "pid int, n long")
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+        assert len({r.pid for r in out}) > 1  # >1 task on the kernel stage
+        assert sum(r.n for r in out) == 200  # each pair in exactly one band
+
+    def test_band_split_off_is_single_group(self, spark):
+        images = spark.createDataFrame(
+            [("img0", bytearray(b"x"))], "image_id string, bytes binary"
+        )
+        pairs = spark.createDataFrame(
+            [("img0", 0, 0, 10, 10, 1, 1)],
+            "image_id string, col_off long, row_off long, width long, "
+            "height long, label_idx long, id int",
+        )
+        img_cg, pairs_banded = pipeline.banded_cogroup_inputs(images, pairs, None)
+        assert img_cg.select("band").distinct().collect()[0][0] == 0
+        assert pairs_banded.select("band").distinct().collect()[0][0] == 0
+
+
 class TestJsonRoundTrip:
     def test_save_load_equality(self, spark, tmp_path, appended):
         # reference tests/test_coco_manager.py:11-49

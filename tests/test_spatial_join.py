@@ -126,6 +126,26 @@ class TestSpatialJoin:
         exact_pairs = pairs(spatial_join.spatial_join(tiles, labels, cell_size=25.0, exact=True))
         assert set(exact_pairs) <= set(bbox_pairs)
 
+    def test_exact_without_geometry_output_matches_brute_force(self, spark):
+        """output_geometry=False + exact (the pipeline's configuration)
+        must equal brute force in both broadcast and salted modes, incl.
+        tiles lying strictly inside a big polygon's bbox but outside the
+        polygon (the corner-tile case the exact residual must reject)."""
+        # big circle: its bbox corners are OUTSIDE the circle, so corner
+        # tiles are bbox-candidates that the exact residual must reject
+        labels = make_labels(spark, [(50, -50)] + self.CENTERS, [45] + self.BUFFERS)
+        tiles = make_tiles(spark, 10, 11.0)
+        slow = pairs(spatial_join.spatial_join_brute_force(tiles, labels))
+        for kw in (
+            {},
+            {"broadcast_rows": 0, "n_salt": 4, "hot_threshold": 0},
+        ):
+            thin = spatial_join.spatial_join(
+                tiles, labels, cell_size=25.0, output_geometry=False, **kw
+            )
+            assert "geometry" not in thin.columns
+            assert pairs(thin) == slow
+
     def test_skewed_hot_cell(self, spark):
         # 200 labels piled into one cell + uniform tiles: salted shuffle
         # join must equal brute force

@@ -1,0 +1,151 @@
+"""Scaling bench for the LLM-data-pipeline operators (VERDICT r02 #7).
+
+The flagship pipeline's N-vs-4N proxy lives in scaling_experiments.py;
+this tool measures the dedup/ANN fleet the same way: the SAME operator
+on the SAME parquet-staged input at local[8] vs local[32], fresh
+subprocess JVM per config, warmup excluded, best-of-reps, efficiency =
+(hi_throughput / lo_throughput) / 4.
+
+The sf0.1 tables are too small to leave the fixed-cost regime (a 3 s
+query measures session floors, not the operator), so inputs are
+AMPLIFIED: each document/embedding is replicated ``SPARK_GRAFT_LLM_AMP``
+times with a deterministic per-replica perturbation (a rep token
+appended to the text / a small epsilon on one embedding dim) so hashes,
+shingles and buckets stay realistic rather than degenerate exact
+copies. Both parallelism levels read the identical staged table.
+
+Usage: python tools/bench_llm_scaling.py [op ...]
+Env: SPARK_GRAFT_LLM_AMP (default 8), SPARK_GRAFT_LLM_REPS (default 2),
+     SPARK_GRAFT_LLM_SF (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, sys, time, os
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from geococo_spark.session import get_spark
+from geococo_spark.operators import dedup
+from geococo_spark.operators import similarity as sim
+
+master, op, stage, sf_dir = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+amp, reps = int(sys.argv[5]), int(sys.argv[6])
+cores = int(master[6:-1])
+spark = get_spark(app_name="llm-scal", master=master, shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+
+def stage_amplified(name, amp):
+    path = f"{{stage}}/{{name}}_x{{amp}}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = spark.read.parquet(f"{{sf_dir}}/{{name}}.parquet")
+        n = base.count()
+        reps_df = spark.range(amp).withColumnRenamed("id", "rep")
+        if name == "documents":
+            out = base.crossJoin(reps_df).select(
+                (F.col("doc_id") + F.col("rep") * (n * 10)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+            )
+        else:
+            out = base.crossJoin(reps_df).select(
+                (F.col("vec_id") + F.col("rep") * (n * 10)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x + F.col("rep") * F.when(i == 0, 0.001).otherwise(0.0),
+                ).alias("embedding"),
+            )
+        out.repartition(32).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+def build(op):
+    if op == "minhash_lsh":
+        docs = stage_amplified("documents", amp)
+        return lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    if op == "simhash":
+        docs = stage_amplified("documents", amp)
+        return lambda: dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).count()
+    if op == "ngram_jaccard":
+        docs = stage_amplified("documents", amp)
+        return lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    if op == "embedding_neardup":
+        embs = stage_amplified("embeddings", amp)
+        return lambda: sim.embedding_near_duplicates(
+            embs, dim=64, threshold=0.8, n_planes=8, n_tables=6
+        ).count()
+    if op == "ivf_topk":
+        embs = stage_amplified("embeddings", amp)
+        probes = embs.filter(F.col("vec_id") % 97 == 3).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        cents = sim.train_ivf_centroids(embs, dim=64, n_centroids=32)
+        return lambda: sim.ivf_topk(
+            embs, probes, dim=64, k=5, n_centroids=32, n_probe=4, centroids=cents
+        ).count()
+    raise SystemExit(f"unknown op {{op}}")
+
+fn = build(op)
+fn()  # warmup (also builds any persisted intermediates' lineage once)
+best, rows = None, None
+for _ in range(reps):
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    rows = fn()
+    dt = time.perf_counter() - t0
+    if best is None or dt < best:
+        best = dt
+print(json.dumps({{"seconds": best, "rows": rows}}))
+"""
+
+OPS = ["minhash_lsh", "simhash", "ngram_jaccard", "embedding_neardup", "ivf_topk"]
+
+
+def run(master: str, op: str, stage: str, sf_dir: str, amp: int, reps: int) -> dict:
+    code = WORKER.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", code, master, op, stage, sf_dir, str(amp), str(reps)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"{op}@{master} failed: {out.stderr[-2000:]}")
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r.update(op=op, master=master)
+    return r
+
+
+def main() -> None:
+    amp = int(os.environ.get("SPARK_GRAFT_LLM_AMP", "8"))
+    reps = int(os.environ.get("SPARK_GRAFT_LLM_REPS", "2"))
+    sf_dir = os.environ.get("SPARK_GRAFT_LLM_SF", "/root/testdata/sf0.1")
+    stage = os.environ.get("SPARK_GRAFT_LLM_STAGE") or tempfile.mkdtemp(
+        prefix="geococo_llmscal_"
+    )
+    ops = sys.argv[1:] or OPS
+    for op in ops:
+        lo = run("local[8]", op, stage, sf_dir, amp, reps)
+        hi = run("local[32]", op, stage, sf_dir, amp, reps)
+        assert lo["rows"] == hi["rows"], f"{op}: row mismatch {lo['rows']} vs {hi['rows']}"
+        eff = (lo["seconds"] / hi["seconds"]) / 4.0
+        print(
+            json.dumps(
+                {
+                    "op": op, "amp": amp, "rows": lo["rows"],
+                    "lo_seconds": round(lo["seconds"], 2),
+                    "hi_seconds": round(hi["seconds"], 2),
+                    "efficiency": round(eff, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,10 +41,17 @@ def main() -> None:
         ).parquet(lp)
     labels = spark.read.parquet(lp)
 
+    # sink mode matches the bench/scaling flagship (in-stage tile sink);
+    # SPARK_GRAFT_PROFILE_SINK=0 profiles the legacy in-row payload path
+    sink_mode = os.environ.get("SPARK_GRAFT_PROFILE_SINK", "1") == "1"
+
     def run(n):
+        import shutil, tempfile
+
         timings: dict = {}
         m = EngineMetrics(spark)
         state = CocoState.create(spark)
+        sink = tempfile.mkdtemp(prefix="geococo_profsink_") if sink_mode else None
         t0 = time.perf_counter()
         state = pipeline.append_dataset(
             spark, state, datagen.stage_images_parquet(
@@ -52,12 +59,14 @@ def main() -> None:
             ), labels,
             images_dir="bench_images", window_bounds=[(128, 128), (256, 256)],
             id_attribute="category_id", name_attribute="class_names",
-            metrics=m, timings=timings,
+            metrics=m, timings=timings, tile_sink_dir=sink,
         )
         t1 = time.perf_counter()
         anns = state.annotations.count()
         timings["final_count"] = round(time.perf_counter() - t1, 3)
         timings["total"] = round(time.perf_counter() - t0, 3)
+        if sink is not None:
+            shutil.rmtree(sink, ignore_errors=True)
         return timings, anns, m.snapshot()["kernel_ms"] / 1000.0
 
     run(2)  # warmup

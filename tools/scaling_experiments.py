@@ -45,15 +45,20 @@ if not os.path.exists(os.path.join(lp, "_SUCCESS")):
 labels = spark.read.parquet(lp)
 
 def run_once(n):
+    import shutil, tempfile
     imgs = staged_images(n)
     state = CocoState.create(spark)
     m = EngineMetrics(spark)
+    sink = tempfile.mkdtemp(prefix="geococo_tilesink_")
     t0 = time.perf_counter()
     state = pipeline.append_dataset(spark, state, imgs, labels,
         images_dir="bench_images", window_bounds=[(128, 128), (256, 256)],
-        id_attribute="category_id", name_attribute="class_names", metrics=m)
+        id_attribute="category_id", name_attribute="class_names", metrics=m,
+        tile_sink_dir=sink)
     anns = state.annotations.count()
-    return time.perf_counter() - t0, anns, m.snapshot()["kernel_ms"]
+    dt = time.perf_counter() - t0
+    shutil.rmtree(sink, ignore_errors=True)
+    return dt, anns, m.snapshot()["kernel_ms"]
 
 run_once(2)  # warmup
 best, best_k = None, None
@@ -110,7 +115,32 @@ def main() -> None:
     stage = os.environ.get("SPARK_GRAFT_SCALING_STAGE") or tempfile.mkdtemp(
         prefix="geococo_scalexp_"
     )
-    names = sys.argv[1:] or list(CONFIGS)
+    args = sys.argv[1:]
+    if args and args[0] == "--paired":
+        # noise-aware headline mode (round 3): this box's hypervisor
+        # co-tenancy swings identical-code kernel core-seconds by ±30%
+        # on multi-minute scales, so sequential lo-then-hi legs compare
+        # different machines. Alternate (lo, hi) back-to-back per pair,
+        # compute efficiency WITHIN each pair, report the series +
+        # median — drift then hits both legs of a pair roughly equally.
+        n_pairs = int(args[1]) if len(args) > 1 else 3
+        effs = []
+        for i in range(n_pairs):
+            lo = run("lo", n_images, stage, 1)
+            hi = run("hi", n_images, stage, 1)
+            eff = (hi["images_per_sec"] / lo["images_per_sec"]) / 4.0
+            effs.append(round(eff, 3))
+            print(json.dumps({
+                "pair": i, "lo_img_s": lo["images_per_sec"],
+                "hi_img_s": hi["images_per_sec"],
+                "lo_kernel_core_s": lo["kernel_core_s"],
+                "hi_kernel_core_s": hi["kernel_core_s"],
+                "efficiency": effs[-1],
+            }), flush=True)
+        print(f"# paired efficiencies: {effs} median: "
+              f"{sorted(effs)[len(effs) // 2]:.3f}", flush=True)
+        return
+    names = args or list(CONFIGS)
     results = []
     for name in names:
         r = run(name, n_images, stage, reps)
