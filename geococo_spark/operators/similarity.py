@@ -111,22 +111,17 @@ def lsh_topk(
     never ride the xn_tables explode or the candidate-dedupe exchange;
     quantized embeddings + squared norms (computed once per vector)
     re-attach to the deduped candidate set afterwards."""
-    sigs = [hyperplane_signature_udf(dim, n_planes, seed=100 + t) for t in range(n_tables)]
+    # same plane family as hyperplane_signature_udf(seed=100+t), but all
+    # tables computed in ONE Arrow pass (posexplode position == table)
+    planes = [
+        np.random.RandomState(100 + t).randn(dim, n_planes) for t in range(n_tables)
+    ]
+    sig_all = multi_table_signature_udf(planes, dtype=np.float64)
 
-    # bucket per table: tag with table index to avoid cross-table
-    # collisions; project the ids ONLY into the explode
     def with_buckets_tagged(df, ident, renamed):
-        tagged = F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), sigs[t](F.col(emb_col)).alias("b"))
-                    for t in range(len(sigs))
-                ]
-            )
-        ).alias("tb")
-        return df.select(F.col(ident).alias(renamed), tagged).select(
-            renamed, F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
-        )
+        return df.select(
+            F.col(ident).alias(renamed), F.posexplode(sig_all(F.col(emb_col))).alias("t", "b")
+        ).select(renamed, F.col("t").cast("int").alias("t"), "b")
 
     vb = with_buckets_tagged(vectors, id_col, "vec_id")
     pb = with_buckets_tagged(probes, probe_id_col, "probe_id")
@@ -184,6 +179,33 @@ def int_hyperplane_signature_udf(planes: np.ndarray):
         return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
 
     return _sig
+
+
+def multi_table_signature_udf(planes_list: list[np.ndarray], dtype=np.int64):
+    """ALL hash tables' bucket signatures in ONE Arrow pass.
+
+    The per-table UDF design paid one ArrowEvalPython round-trip of the
+    embedding column per table (xn_tables serialization — measured as
+    the dominant cost of q_embedding_neardup at sf0.1). Concatenating
+    the plane matrices into a single (dim, n_tables*n_planes) matmul
+    produces bit-identical buckets with a single embedding transfer;
+    the caller pairs it with ``posexplode`` so the array position IS
+    the table index. Works for integer planes over quantized vectors
+    (oracle-portable) and float planes alike.
+    """
+    n_tables = len(planes_list)
+    n_planes = planes_list[0].shape[1]
+    all_planes = np.concatenate(planes_list, axis=1)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sigs(qv: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(e, dtype=dtype) for e in qv])
+        bits = ((mat @ all_planes) > 0).reshape(len(mat), n_tables, n_planes)
+        vals = (bits.astype(np.uint64) @ weights).astype(np.int64)
+        return pd.Series([[int(v) for v in row] for row in vals])
+
+    return _sigs
 
 
 def train_ivf_centroids(
@@ -310,20 +332,14 @@ def embedding_near_duplicates(
     reproducible by the ANSI-SQL oracle.
     """
     planes = [int_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
-    sigs = [int_hyperplane_signature_udf(p) for p in planes]
+    # all tables in ONE Arrow pass; posexplode's position == table index
+    # (bit-identical buckets to the per-table UDFs, same oracle SQL)
+    sig_all = multi_table_signature_udf(planes)
     base = vectors.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
     qcol = _qvec(F.col("emb"))
     tagged = base.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), sigs[t](qcol).alias("b"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        "vid", F.posexplode(sig_all(qcol)).alias("t", "b")
+    ).select("vid", F.col("t").cast("int").alias("t"), "b")
     cand_ids = (
         tagged.alias("a")
         .join(
