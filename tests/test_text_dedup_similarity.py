@@ -259,6 +259,33 @@ class TestSimilarity:
             if "Generate explode" in line or "probe_id#" in line and "Aggregate" in line:
                 assert "embedding" not in line, line
 
+    def test_multi_table_signatures_bit_identical(self, spark):
+        """The one-Arrow-pass multi-table signature must produce exactly
+        the per-table UDFs' buckets (same planes, same packing) — the
+        equivalence that keeps q_embedding_neardup oracle-exact."""
+        from pyspark.sql import functions as F
+
+        rng = np.random.RandomState(9)
+        rows = [Row(vec_id=i, qv=[int(x) for x in rng.randint(-1000, 1000, 16)])
+                for i in range(40)]
+        df = spark.createDataFrame(rows)
+        planes = [similarity.int_plane_matrix(16, 6, 500 + t) for t in range(4)]
+        multi = {
+            (r.vec_id, r.t): r.b
+            for r in df.select(
+                "vec_id",
+                F.posexplode(similarity.multi_table_signature_udf(planes)(F.col("qv"))).alias("t", "b"),
+            ).collect()
+        }
+        for t, p in enumerate(planes):
+            per = {
+                r.vec_id: r.b
+                for r in df.select(
+                    "vec_id", similarity.int_hyperplane_signature_udf(p)(F.col("qv")).alias("b")
+                ).collect()
+            }
+            assert {v: multi[(v, t)] for v in per} == per
+
     def test_ivf_centroids_empty_input_raises(self, spark):
         empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="empty sample"):
