@@ -283,6 +283,10 @@ class CocoState:
         on the driver), never the whole sources dimension (VERDICT r02
         #4). The distributed pipeline path is register_sources_df.
         """
+        if not file_names:
+            # createDataFrame([]) cannot infer a schema (ADVICE r03) and
+            # there is nothing to register or bump anyway
+            return {}
         spark = self.sources.sparkSession
         incoming = spark.createDataFrame(
             [(fn,) for fn in dict.fromkeys(file_names)], ["file_name"]

@@ -506,8 +506,11 @@ def append_dataset(
                 quantile, images_dir, out_fmt,
                 # attribute mapping changes category ids in kernel output
                 id_attribute, name_attribute, super_attribute,
-                # sink mode changes the kernel_out rows (bytes nulled)
-                bool(tile_sink_dir),
+                # sink mode changes the kernel_out rows (bytes nulled) AND
+                # the sink dir identity: a resumed checkpoint pointing at a
+                # different sink must re-run the kernel, not silently read
+                # an empty/foreign sink (ADVICE r03)
+                tile_sink_dir,
             )
         )
         pairs_thin = ckpt.run("pairs", fingerprint, _pairs_thin, metrics)
@@ -529,6 +532,27 @@ def append_dataset(
         .applyInPandas(cogroup_kernel(out_fmt, acc, tile_sink_dir), schemas.KERNEL_OUT)
     )
     if ckpt is not None:
+        if tile_sink_dir is not None and ckpt.is_complete("kernel_out", fingerprint):
+            # resume hit in sink mode: the kernel will NOT re-run, so the
+            # tile payload must already sit in the sink. A cleaned (or
+            # never-written) sink dir would otherwise read back zero
+            # payload rows and the final tiles join would silently drop
+            # every tile (ADVICE r03). Same-dir cleaning is the one case
+            # the fingerprint (which includes tile_sink_dir) cannot catch.
+            import glob as _glob
+            import os as _os
+
+            m = ckpt.manifest("kernel_out")
+            has_payload = bool(
+                _glob.glob(_os.path.join(tile_sink_dir, "data", "*.parquet"))
+            )
+            if int((m or {}).get("rows", 0)) > 0 and not has_payload:
+                raise ValueError(
+                    "checkpoint resume: kernel_out is COMPLETE for this "
+                    f"fingerprint but tile_sink_dir ({tile_sink_dir}) contains "
+                    "no tile payload files — the sink was cleaned or never "
+                    "written; delete the kernel_out checkpoint or restore the sink"
+                )
         kout = ckpt.run("kernel_out", fingerprint, lambda: kout, metrics)
     else:
         # several downstream actions (id counts, images, annotations) must

@@ -72,6 +72,39 @@ class TestPipelineResume:
         assert os.path.getmtime(os.path.join(ckdir, "kernel_out", "manifest.json")) == mtime1
         assert m2.snapshot()["annotations_emitted"] == 0
 
+    def test_cleaned_sink_dir_on_resume_raises(self, spark, tmp_path):
+        """ADVICE r03: a kernel_out resume hit in sink mode with a
+        cleaned tile_sink_dir silently produced zero tiles (the payload
+        join dropped every row). It must raise instead; pointing at a
+        DIFFERENT sink dir busts the fingerprint and recomputes."""
+        import shutil
+
+        images = datagen.images_df(spark, 1)
+        labels = datagen.labels_df(spark)
+        ckdir = str(tmp_path / "sck")
+
+        def run(sink):
+            state = CocoState.create(spark)
+            out = pipeline.append_dataset(
+                spark, state, images, labels, images_dir="d",
+                id_attribute="category_id", name_attribute="class_names",
+                checkpoint_dir=ckdir, tile_sink_dir=sink,
+            )
+            out.annotations.count()
+            return out
+
+        sink1 = str(tmp_path / "sink1")
+        out1 = run(sink1)
+        n_tiles = out1.tiles.count()
+        assert n_tiles > 0
+        # clean the sink, resume with the same dir -> raise, not empty tiles
+        shutil.rmtree(sink1)
+        with pytest.raises(ValueError, match="tile_sink_dir"):
+            run(sink1)
+        # a different sink dir changes the fingerprint -> kernel re-runs
+        out3 = run(str(tmp_path / "sink2"))
+        assert out3.tiles.count() == n_tiles
+
     def test_content_change_busts_checkpoint(self, spark, tmp_path):
         """Same label row count / image ids but DIFFERENT geometry must
         miss the fingerprint and recompute (ADVICE r01: the count-only

@@ -140,6 +140,17 @@ class TestDistributedSourceRegistration:
 
 
 class TestReviewRegressions:
+    def test_register_sources_empty_list(self, spark):
+        """ADVICE r03: register_sources([]) crashed on schema inference
+        from an empty dataset — it must return {} and bump nothing."""
+        from geococo_spark.coco import CocoState
+
+        state = CocoState.create(spark)
+        v0 = state.info["version"]
+        assert state.register_sources([], None) == {}
+        assert state.info["version"] == v0
+        assert state.sources.count() == 0
+
     def test_bulk_bump_matches_looped(self):
         from geococo_spark.coco import bulk_bump, bump_version
         for start in ("0.0.0", "1.2.3", "9.0.7"):

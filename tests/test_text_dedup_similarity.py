@@ -253,11 +253,16 @@ class TestSimilarity:
         probes = vectors.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding")
         out = similarity.lsh_topk(vectors, probes, dim=16, k=3, n_planes=6, n_tables=4)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
+        checked = 0
         for line in plan.splitlines():
-            # Generate = the band explode; the dedupe Aggregate groups on
-            # (probe_id, vec_id) — neither may project embedding columns
-            if "Generate explode" in line or "probe_id#" in line and "Aggregate" in line:
+            # Generate = the band posexplode; the dedupe Aggregate groups
+            # on (probe_id, vec_id) — neither may project embedding
+            # columns (ADVICE r03: lsh_topk uses posexplode, and the old
+            # un-parenthesized condition never matched the Generate line)
+            if ("Generate " in line) or ("probe_id#" in line and "Aggregate" in line):
                 assert "embedding" not in line, line
+                checked += 1
+        assert checked >= 2  # both the explode and the dedupe lines were seen
 
     def test_multi_table_signatures_bit_identical(self, spark):
         """The one-Arrow-pass multi-table signature must produce exactly
