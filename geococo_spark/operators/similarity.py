@@ -114,6 +114,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    int_planes: bool = False,
+    seed: int = 100,
 ) -> DataFrame:
     """Approximate top-k: same output shape as brute_force_topk but
     candidates are restricted to vectors sharing >= 1 LSH bucket with the
@@ -124,17 +126,29 @@ def lsh_topk(
     the banded join carries *ids only* — (id, t, b) rows — so embeddings
     never ride the xn_tables explode or the candidate-dedupe exchange;
     quantized embeddings + squared norms (computed once per vector)
-    re-attach to the deduped candidate set afterwards."""
-    # same plane family as hyperplane_signature_udf(seed=100+t), but all
-    # tables computed in ONE Arrow pass (posexplode position == table)
-    planes = [
-        np.random.RandomState(100 + t).randn(dim, n_planes) for t in range(n_tables)
-    ]
-    sig_all = multi_table_signature_udf(planes, dtype=np.float64)
+    re-attach to the deduped candidate set afterwards.
+
+    ``int_planes=True`` (VERDICT r03 #4) switches to integer hyperplanes
+    over QUANTIZED embeddings — the same exact-integer sign test as
+    embedding_near_duplicates, so the candidate set (and therefore the
+    whole result) is reproducible by the ANSI-SQL oracle with the plane
+    matrices embedded as literals (q_ann_lsh)."""
+    # all tables computed in ONE Arrow pass (posexplode position == table)
+    if int_planes:
+        planes = [int_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
+        sig_all = multi_table_signature_udf(planes)
+        sig_input = _qvec(F.col(emb_col))
+    else:
+        # same plane family as hyperplane_signature_udf(seed=100+t)
+        planes = [
+            np.random.RandomState(seed + t).randn(dim, n_planes) for t in range(n_tables)
+        ]
+        sig_all = multi_table_signature_udf(planes, dtype=np.float64)
+        sig_input = F.col(emb_col)
 
     def with_buckets_tagged(df, ident, renamed):
         return df.select(
-            F.col(ident).alias(renamed), F.posexplode(sig_all(F.col(emb_col))).alias("t", "b")
+            F.col(ident).alias(renamed), F.posexplode(sig_all(sig_input)).alias("t", "b")
         ).select(renamed, F.col("t").cast("int").alias("t"), "b")
 
     vb = with_buckets_tagged(vectors, id_col, "vec_id")
@@ -154,10 +168,13 @@ def lsh_topk(
     scored = (
         cand_ids.join(v, "vec_id")
         .join(F.broadcast(p), "probe_id")
+        # batched exact integer dots (one numpy matmul per Arrow batch);
+        # division + rounding stay JVM-side — bit-identical to the fold
+        .withColumn("pair_dot", _qdot_batch(F.col("qv"), F.col("qp")))
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("qv"), F.col("qp"))
+                F.col("pair_dot")
                 / (F.sqrt(F.col("nv").cast("double")) * F.sqrt(F.col("np_").cast("double"))),
                 6,
             ),
