@@ -31,6 +31,48 @@ from geococo_spark.geometry import rasterize, rle, wkb
 from geococo_spark.kernels import codec
 
 
+class _DecodeCache:
+    """Per-worker LRU decode cache keyed by content digest (VERDICT r03
+    #1): a band-split mega-raster replicates its encoded bytes over
+    n_bands kernel groups, and Spark's reused Python workers process
+    several of those groups — decoding once per worker instead of once
+    per group removes the duplicated decode CPU. Byte-budgeted (not
+    entry-counted) so a handful of gigapixel rasters cannot blow worker
+    memory; cached arrays are frozen read-only because every kernel step
+    below either slices (views) or copies."""
+
+    def __init__(self, max_bytes: int = 512 * 1024 * 1024):
+        self.max_bytes = max_bytes
+        self._entries: "dict[bytes, np.ndarray]" = {}
+        self._total = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, data: bytes) -> np.ndarray:
+        import hashlib
+
+        key = hashlib.md5(data).digest()
+        arr = self._entries.pop(key, None)
+        if arr is not None:
+            self._entries[key] = arr  # re-insert = move to MRU position
+            self.hits += 1
+            return arr
+        self.misses += 1
+        arr = codec.decode_image(data)
+        arr.flags.writeable = False
+        size = arr.nbytes
+        if size <= self.max_bytes:
+            while self._total + size > self.max_bytes and self._entries:
+                oldest = next(iter(self._entries))  # insertion order = LRU
+                self._total -= self._entries.pop(oldest).nbytes
+            self._entries[key] = arr
+            self._total += size
+        return arr
+
+
+_decode_cache = _DecodeCache()
+
+
 def sink_tile_payload(
     tile_sink_dir: str, image_key: str, band: int, payload_rows: list[tuple]
 ) -> str:
@@ -102,7 +144,7 @@ def run_tile_kernel(
     if len(image_pdf) == 0 or len(pairs_pdf) == 0:
         return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
     img = image_pdf.iloc[0]
-    arr = codec.decode_image(bytes(img["bytes"]))
+    arr = _decode_cache.get(bytes(img["bytes"]))
     bump("bytes_decoded", len(img["bytes"]))
 
     t = img["transform"]
@@ -270,6 +312,76 @@ def _kernel_fields():
     from geococo_spark.schemas import KERNEL_OUT
 
     return KERNEL_OUT.fields
+
+
+def pairs_frame_from_arrays(row) -> pd.DataFrame:
+    """Rebuild the kernel's pairs frame from the broadcast-path
+    position-zipped primitive arrays (one row per image group): the
+    ``g_*`` arrays carry each label's WKB once, the ``p_*`` arrays are
+    the thin (window, label) pairs — the same two-part layout
+    pipeline._with_geom_rows unions for the cogroup path, so
+    run_tile_kernel consumes either unchanged. Every column lands as a
+    numpy vector (no per-pair Python objects beyond the WKB bytes)."""
+    cols = ["col_off", "row_off", "width", "height", "label_idx", "geometry", "id"]
+    n_g = len(row["g_label_idx"])
+    g = pd.DataFrame(
+        {
+            "col_off": [None] * n_g,
+            "row_off": [None] * n_g,
+            "width": [None] * n_g,
+            "height": [None] * n_g,
+            "label_idx": row["g_label_idx"],
+            "geometry": row["g_geometry"],
+            "id": [None] * n_g,
+        }
+    )
+    p = pd.DataFrame(
+        {
+            "col_off": row["p_col_off"],
+            "row_off": row["p_row_off"],
+            "width": row["p_width"],
+            "height": row["p_height"],
+            "label_idx": row["p_label_idx"],
+            "geometry": None,
+            "id": row["p_id"],
+        }
+    )
+    return pd.concat([g[cols], p[cols]], ignore_index=True)
+
+
+def map_kernel(
+    out_fmt: str = "jpeg", acc: dict | None = None, tile_sink_dir: str | None = None
+):
+    """Factory for the broadcast-path ``mapInPandas`` kernel (VERDICT r03
+    #1): each input row is one self-contained image group — the image
+    row's own columns plus its aggregated ``pair_arr``/``geom_arr``
+    structs, attached by a BROADCAST hash join in the pipeline. Unlike
+    the cogroup path there is NO exchange on the images side: the ~MB of
+    encoded image bytes flow scan -> broadcast-join -> kernel inside one
+    pipelined stage instead of through a hash-partitioning shuffle
+    write + read. Output and semantics are byte-identical to
+    :func:`cogroup_kernel` (pinned by test)."""
+
+    def _fn(batches):
+        import time as _time
+
+        for pdf in batches:
+            for i in range(len(pdf)):
+                t0 = _time.perf_counter()
+                row = pdf.iloc[i]
+                out = run_tile_kernel(
+                    pdf.iloc[[i]],
+                    pairs_frame_from_arrays(row),
+                    out_fmt=out_fmt,
+                    acc=acc,
+                    tile_sink_dir=tile_sink_dir,
+                )
+                if acc is not None and "kernel_ms" in acc:
+                    acc["kernel_ms"].add(int((_time.perf_counter() - t0) * 1000))
+                if len(out):
+                    yield out
+
+    return _fn
 
 
 def cogroup_kernel(

@@ -324,6 +324,162 @@ class TestKernelScaleShape:
         )
         assert _state_snapshot(both) == base
 
+    def test_kernel_input_mode_output_identical(self, spark, tmp_path):
+        """VERDICT r03 #1: the broadcast kernel-input path changes HOW
+        image bytes reach the kernel (no images-side exchange), never
+        WHAT the engine outputs — and it composes with the tile sink and
+        band splitting."""
+        base = _state_snapshot(self._run(spark, kernel_input_mode="cogroup"))
+        bc = self._run(spark, kernel_input_mode="broadcast")
+        assert _state_snapshot(bc) == base
+        both = self._run(
+            spark, kernel_input_mode="broadcast", band_split_pairs=2,
+            tile_sink_dir=str(tmp_path / "bc_sink"),
+        )
+        assert _state_snapshot(both) == base
+        # auto mode (tiny pair count -> broadcast) stays identical too
+        auto = self._run(spark, kernel_input_mode="auto")
+        assert _state_snapshot(auto) == base
+
+    def test_broadcast_mode_images_side_unshuffled(self, spark):
+        """Plan-level: in broadcast mode the images scan must feed the
+        kernel through a BroadcastHashJoin with NO hash exchange keyed on
+        image_id — the encoded bytes never enter a shuffle."""
+        import re
+
+        state = self._run(spark, kernel_input_mode="broadcast")
+        plan = state.annotations._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "FlatMapCoGroupsInPandas" not in plan  # cogroup path not taken
+        # the IMAGES-side image_id (the one MapInPandas reads alongside
+        # bytes) must never appear as an exchange partitioning key; the
+        # pairs-side groupBys legitimately exchange their own image_id
+        # copies (metadata-only rows)
+        m = re.search(r"MapInPandas _fn\(image_id#(\d+)", plan)
+        assert m, plan[:2000]
+        assert f"hashpartitioning(image_id#{m.group(1)}" not in plan
+
+    def test_decode_cache_lru_and_hits(self):
+        """Per-worker decode cache: content-keyed hits, byte-budgeted LRU
+        eviction, and frozen (read-only) cached arrays."""
+        import numpy as np
+
+        from geococo_spark.kernels import codec
+        from geococo_spark.kernels.tile_kernel import _DecodeCache
+
+        rng = np.random.RandomState(3)
+        imgs = [
+            codec.encode_image((rng.rand(1, 16, 16) * 255).astype("uint8"), "raw")
+            for _ in range(3)
+        ]
+        arrs = [codec.decode_image(b) for b in imgs]
+        cache = _DecodeCache(max_bytes=2 * arrs[0].nbytes)
+        a0 = cache.get(imgs[0])
+        assert cache.misses == 1 and cache.hits == 0
+        assert not a0.flags.writeable
+        np.testing.assert_array_equal(a0, arrs[0])
+        assert cache.get(imgs[0]) is a0 and cache.hits == 1
+        cache.get(imgs[1])          # fills the 2-slot budget
+        cache.get(imgs[0])          # touch 0 -> 1 becomes LRU
+        cache.get(imgs[2])          # evicts 1
+        assert cache.get(imgs[0]) is a0          # still cached
+        h = cache.hits
+        cache.get(imgs[1])                       # was evicted -> miss
+        assert cache.hits == h and cache.misses == 4
+
+    def test_adversarial_skew_full_pipeline(self, spark, tmp_path):
+        """VERDICT r03 #7: salt + band interplay under worst-case skew —
+        EVERY label piles into one tiny hot region (one cell), so one
+        image's kernel group carries all pairs. With band splitting the
+        group must fan over >1 task with no task above ~2x the median
+        pair load (pair count is the deterministic proxy for task time —
+        kernel work is linear in pairs, and wall time on this box is
+        +-30% co-tenancy noise), and the COCO output must stay
+        byte-identical to the unsplit run."""
+        import pandas as pd
+        from pyspark import TaskContext
+
+        # 60 labels clustered inside (40..60)^2 — a single 100-unit cell
+        n = 60
+        centers = [(40 + (i * 7) % 20, -(40 + (i * 11) % 20)) for i in range(n)]
+        buffers = [1 + i % 3 for i in range(n)]
+        cats = [i % 4 + 1 for i in range(n)]
+        names = [f"c{c}" for c in cats]
+        labels = datagen.labels_df(
+            spark, centers=centers, buffers=buffers, category_ids=cats, class_names=names
+        )
+        images = datagen.images_df(spark, 2)
+
+        def run(**kw):
+            state = CocoState.create(spark)
+            return pipeline.append_dataset(
+                spark, state, images, labels, images_dir="d",
+                window_bounds=[(100, 100), (256, 256)],
+                id_attribute="category_id", name_attribute="class_names", **kw,
+            )
+
+        base = _state_snapshot(run(kernel_input_mode="cogroup"))
+        split = run(band_split_pairs=40, kernel_input_mode="broadcast",
+                    tile_sink_dir=str(tmp_path / "skew_sink"))
+        assert _state_snapshot(split) == base
+
+        # task-level fan-out probe on the same banded structure the
+        # kernel keys on (AQE off: byte-tiny test shuffles coalesce)
+        from geococo_spark.operators import spatial_join
+
+        tiles = pipeline.grid.explode_window_grid(
+            images.select(
+                "image_id",
+                F.col("transform.a").alias("t_a"), F.col("transform.c").alias("t_c"),
+                F.col("transform.e").alias("t_e"), F.col("transform.f").alias("t_f"),
+                F.lit(0).cast("long").alias("parent_col_off"),
+                F.lit(0).cast("long").alias("parent_row_off"),
+                F.lit(256).cast("long").alias("parent_width"),
+                F.lit(256).cast("long").alias("parent_height"),
+            ),
+            pipeline.grid.WindowSchemaSpec(100, 100, 8, 8),
+        )
+        tiles = pipeline.grid.with_window_bounds(tiles, flat=True).select(
+            F.col("image_id").alias("tile_image_id"),
+            F.concat_ws("_", "image_id", "col_off", "row_off", "width", "height").alias("tile_id"),
+            "col_off", "row_off", "width", "height",
+            "tile_minx", "tile_miny", "tile_maxx", "tile_maxy",
+        )
+        pairs = spatial_join.spatial_join(
+            tiles, labels.withColumn("id", F.col("category_id")),
+            cell_size=100.0, label_id="label_idx", output_geometry=False,
+        ).select(
+            F.col("tile_image_id").alias("image_id"),
+            "col_off", "row_off", "width", "height", "label_idx", "id",
+        ).localCheckpoint()
+        img_cg, pairs_banded = pipeline.banded_cogroup_inputs(
+            images.select("image_id", "bytes"), pairs, band_split_pairs=40
+        )
+
+        def probe(img_pdf, pairs_pdf):
+            return pd.DataFrame(
+                {"pid": [TaskContext.get().partitionId()], "n": [len(pairs_pdf)]}
+            )
+
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            rows = (
+                img_cg.groupBy("image_id", "band")
+                .cogroup(pairs_banded.groupBy("image_id", "band"))
+                .applyInPandas(probe, "pid int, n long")
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+        per_task: dict[int, int] = {}
+        for r in rows:
+            per_task[r.pid] = per_task.get(r.pid, 0) + r.n
+        loads = sorted(per_task.values())
+        assert len(loads) > 1, "skewed kernel stage did not fan out"
+        median = loads[len(loads) // 2]
+        assert max(loads) <= 2 * median, (loads, median)
+
     def test_band_split_spreads_one_image_over_tasks(self, spark):
         """One image carrying far more pairs than the median must fan
         out over >1 kernel task (the mega-raster can no longer serialize
