@@ -109,6 +109,8 @@ def main() -> None:
         "q_embedding_neardup",
         "q_ann_topk",
         "q_ann_ivf",
+        "q_ann_lsh",
+        "q_coco_boxes",
         "q_events_window",
     ]
     queries = entry_mod.queries()

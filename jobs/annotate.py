@@ -43,6 +43,15 @@ def main(argv: list[str] | None = None) -> None:
         help="split images with more matched pairs than this over "
         "multiple kernel tasks (mega-raster granularity)",
     )
+    ap.add_argument(
+        "--kernel-input-mode",
+        choices=["cogroup", "broadcast", "auto"],
+        default="cogroup",
+        help="how image bytes reach the kernel: cogroup (shuffle both "
+        "sides; default, fastest on single-node/local shuffle) or "
+        "broadcast (thin pair arrays broadcast onto the images scan — "
+        "image bytes never enter an exchange; the network-cluster shape)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -80,6 +89,7 @@ def main(argv: list[str] | None = None) -> None:
         metrics=metrics,
         tile_sink_dir=args.tile_sink,
         band_split_pairs=args.band_split_pairs,
+        kernel_input_mode=args.kernel_input_mode,
     )
     from geococo_spark.sinks import write_table
 
