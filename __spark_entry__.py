@@ -806,10 +806,12 @@ def _embedding_neardup_oracle_sql(
     n_planes: int = 6,
     n_tables: int = 10,
     seed: int = 500,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB replica of similarity.embedding_near_duplicates: identical
     integer hyperplanes (literals) over quantized vectors, same banded
-    candidate set, same rounded-cosine verify."""
+    candidate set (incl. the optional hot-bucket cap), same
+    rounded-cosine verify."""
     from geococo_spark.operators.similarity import int_plane_matrix
 
     tables = []
@@ -823,6 +825,15 @@ def _embedding_neardup_oracle_sql(
         )
         tables.append(f"SELECT vec_id, {t} AS t, {terms} AS b FROM q")
     banded = " UNION ALL ".join(tables)
+    cap_cte = (
+        f"""banded AS (
+  SELECT b0.* FROM banded0 b0
+  JOIN (SELECT t, b FROM banded0 GROUP BY t, b
+        HAVING count(*) <= {max_bucket_size}) k
+    ON b0.t = k.t AND b0.b = k.b),"""
+        if max_bucket_size is not None
+        else "banded AS (SELECT * FROM banded0),"
+    )
     cos = (
         "round(list_dot_product(va, vb) / "
         "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)"
@@ -830,7 +841,8 @@ def _embedding_neardup_oracle_sql(
     return f"""
 WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
            FROM embeddings),
-banded AS ({banded}),
+banded0 AS ({banded}),
+{cap_cte}
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM banded a JOIN banded b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),

@@ -352,6 +352,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 500,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup driver brief): LSH-bucketed
     self-join + exact cosine filter; canonical (id_a < id_b) pairs.
@@ -361,6 +362,17 @@ def embedding_near_duplicates(
     candidate set afterwards, mirroring the MinHash design. Signatures
     use integer planes on quantized vectors, so the candidate set is
     reproducible by the ANSI-SQL oracle.
+
+    ``max_bucket_size`` (round 4; the hyperplane analog of ngram's
+    ``max_shingle_df`` hot-shingle cap): a (table, bucket) with more
+    than this many members is dropped from candidate generation — an
+    adversarial corpus (e.g. millions of identical embeddings) otherwise
+    makes one bucket contribute O(n^2) candidate pairs, the only
+    remaining unbounded key in the dedup fleet. The size census is keyed
+    exactly like the self-join (one extra light shuffle over ids-only
+    rows); pairs co-bucketed ONLY in over-full buckets are missed
+    (recall-only tradeoff — the verify threshold is unchanged). Mirror
+    the cap in the oracle SQL when used.
     """
     planes = [int_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
     # all tables in ONE Arrow pass; posexplode's position == table index
@@ -371,6 +383,14 @@ def embedding_near_duplicates(
     tagged = base.select(
         "vid", F.posexplode(sig_all(qcol)).alias("t", "b")
     ).select("vid", F.col("t").cast("int").alias("t"), "b")
+    if max_bucket_size is not None:
+        keep = (
+            tagged.groupBy("t", "b")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .select("t", "b")
+        )
+        tagged = tagged.join(keep, ["t", "b"])
     cand_ids = (
         tagged.alias("a")
         .join(

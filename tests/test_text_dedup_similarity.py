@@ -349,3 +349,68 @@ class TestSimilarity:
         )
         rows = similarity.embedding_near_duplicates(df, dim=16, threshold=0.95).collect()
         assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+
+    def test_embedding_neardup_hot_bucket_cap(self, spark):
+        """Round-4 scale guard (hyperplane analog of ngram's hot-shingle
+        df cap): an adversarial block of IDENTICAL embeddings shares all
+        its buckets in every table — uncapped it contributes O(n^2)
+        candidate pairs; with max_bucket_size those buckets drop out of
+        candidate generation while pairs living in small buckets are
+        still found. A cap larger than every bucket changes nothing."""
+        rng = np.random.RandomState(11)
+        v = rng.randn(16)
+        v2 = v + rng.randn(16) * 0.01
+        hot = [float(x) for x in rng.randn(16)]
+        rows = [
+            Row(vec_id=1, embedding=[float(x) for x in v]),
+            Row(vec_id=2, embedding=[float(x) for x in v2]),
+        ]
+        # 40 identical vectors: every (t, b) they occupy has >= 40 members
+        rows += [Row(vec_id=100 + i, embedding=hot) for i in range(40)]
+        df = spark.createDataFrame(rows)
+
+        uncapped = similarity.embedding_near_duplicates(df, dim=16, threshold=0.95)
+        capped = similarity.embedding_near_duplicates(
+            df, dim=16, threshold=0.95, max_bucket_size=10
+        )
+        got_uncapped = {(r.id_a, r.id_b) for r in uncapped.collect()}
+        got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+        # uncapped: the identical block yields 40*39/2 pairs + the planted one
+        assert (1, 2) in got_uncapped and len(got_uncapped) == 1 + 40 * 39 // 2
+        # capped: hot buckets dropped -> only the planted small-bucket pair
+        assert got_capped == {(1, 2)}
+        # a cap above the largest bucket is a no-op
+        loose = similarity.embedding_near_duplicates(
+            df, dim=16, threshold=0.95, max_bucket_size=1000
+        )
+        assert {(r.id_a, r.id_b) for r in loose.collect()} == got_uncapped
+
+    def test_embedding_neardup_cap_oracle_parity(self, spark):
+        """The capped candidate set must stay DuckDB-reproducible: run
+        the capped operator and its generated oracle SQL on the same
+        parquet and compare exactly (the q_embedding_neardup entry keeps
+        the cap off; this pins the capped variant's oracle)."""
+        import duckdb
+
+        import __spark_entry__ as entry_mod
+
+        sf = "/root/testdata/sf0.01"
+        embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+        got = sorted(
+            map(
+                tuple,
+                similarity.embedding_near_duplicates(
+                    embs, dim=64, threshold=0.42, n_planes=6, n_tables=10,
+                    max_bucket_size=20,
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        sql = entry_mod._embedding_neardup_oracle_sql(
+            dim=64, threshold=0.42, n_planes=6, n_tables=10, max_bucket_size=20
+        )
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want and len(got) > 0
