@@ -116,6 +116,7 @@ def lsh_topk(
     probe_id_col: str = "probe_id",
     int_planes: bool = False,
     seed: int = 100,
+    broadcast_vectors_rows: int = 200_000,
 ) -> DataFrame:
     """Approximate top-k: same output shape as brute_force_topk but
     candidates are restricted to vectors sharing >= 1 LSH bucket with the
@@ -162,6 +163,11 @@ def lsh_topk(
     v = vectors.select(
         F.col(id_col).alias("vec_id"), _qvec(F.col(emb_col)).alias("qv")
     ).withColumn("nv", _dot(F.col("qv"), F.col("qv")))
+    if broadcast_vectors_rows and vectors.count() <= broadcast_vectors_rows:
+        # same measured fix as embedding_near_duplicates: below the
+        # threshold the quantized side broadcasts into the verify join
+        # instead of sort-merging the (much larger) candidate side
+        v = F.broadcast(v)
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), _qvec(F.col(emb_col)).alias("qp")
     ).withColumn("np_", _dot(F.col("qp"), F.col("qp")))
@@ -353,9 +359,23 @@ def embedding_near_duplicates(
     emb_col: str = "embedding",
     seed: int = 500,
     max_bucket_size: int | None = None,
+    broadcast_vectors_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup driver brief): LSH-bucketed
     self-join + exact cosine filter; canonical (id_a < id_b) pairs.
+
+    ``broadcast_vectors_rows`` (round 4, measured): when the corpus has
+    at most this many vectors (one cheap count decides), the quantized
+    (qv, norm) side BROADCASTS into both verify attach joins. The
+    default sort-merge plan sorts the (huge) candidate side twice —
+    phase-profiled at 64k vectors / 76M candidates as the reason the
+    verify phase stopped scaling with cores (verify ~110-120 s at BOTH
+    local[8] and local[32]); forcing the ~40 MB build side broadcast
+    cut the same query 200-264 s -> 92 s at local[32]. Spark's 10 MB
+    auto-broadcast threshold is far below what any real executor
+    carries — 200k vectors ~ 120 MB is still a trivially safe
+    broadcast, while a 10^9-vector corpus correctly falls back to the
+    shuffle join. Set 0 to disable (skips the count job).
 
     Scale shape (VERDICT r01 #6): the banded self-join carries *ids only*
     — (vid, t, b) rows — and embeddings re-attach to the (small)
@@ -408,13 +428,15 @@ def embedding_near_duplicates(
     qbase = base.select(
         "vid", _qvec(F.col("emb")).alias("qv")
     ).withColumn("nv", _dot(F.col("qv"), F.col("qv")))
-    cand = cand_ids.join(
-        qbase.select(F.col("vid").alias("id_a"), F.col("qv").alias("qa"), F.col("nv").alias("na")),
-        "id_a",
-    ).join(
-        qbase.select(F.col("vid").alias("id_b"), F.col("qv").alias("qb"), F.col("nv").alias("nb")),
-        "id_b",
+    qa_side = qbase.select(
+        F.col("vid").alias("id_a"), F.col("qv").alias("qa"), F.col("nv").alias("na")
     )
+    qb_side = qbase.select(
+        F.col("vid").alias("id_b"), F.col("qv").alias("qb"), F.col("nv").alias("nb")
+    )
+    if broadcast_vectors_rows and vectors.count() <= broadcast_vectors_rows:
+        qa_side, qb_side = F.broadcast(qa_side), F.broadcast(qb_side)
+    cand = cand_ids.join(qa_side, "id_a").join(qb_side, "id_b")
     # exact integer dots batched through ONE Arrow pass (numpy matmul);
     # the division + HALF_UP rounding stay JVM-side so the rounded value
     # is bit-identical to the old per-pair fold and the oracle SQL

@@ -16,7 +16,11 @@ copies. Both parallelism levels read the identical staged table.
 
 Usage: python tools/bench_llm_scaling.py [op ...]
 Env: SPARK_GRAFT_LLM_AMP (default 8), SPARK_GRAFT_LLM_REPS (default 2),
-     SPARK_GRAFT_LLM_SF (default /root/testdata/sf0.1)
+     SPARK_GRAFT_LLM_SF (default /root/testdata/sf0.1),
+     SPARK_GRAFT_LLM_EPS (default 0.001 — per-replica embedding
+     perturbation; 0.001 makes replicas mutually near-dup, a
+     quadratic-in-amp verify workload; ~2.0 keeps only adjacent reps
+     near-dup, an amp-linear workload that isolates operator scaling)
 """
 
 from __future__ import annotations
@@ -40,12 +44,25 @@ from geococo_spark.operators import similarity as sim
 
 master, op, stage, sf_dir = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 amp, reps = int(sys.argv[5]), int(sys.argv[6])
+# per-replica embedding perturbation. Default ("dim0", eps 0.001):
+# dim 0 += rep * eps — replicas stay mutually near-duplicate, so output
+# pairs grow as C(amp, 2) per original, a QUADRATIC-in-amp verify
+# workload (measured round 4). PERTURB=random with eps ~ 1.0 adds a
+# deterministic pseudo-random direction of norm ~ 0.7*eps PER REP
+# (sin-sequence over all dims): different reps of one original stop
+# being near-dups (cos ~ 1/(1+0.5*eps^2) < threshold) while base
+# near-dup pairs survive within each rep — an amp-LINEAR workload that
+# isolates operator scaling from workload growth.
+eps = float(os.environ.get("SPARK_GRAFT_LLM_EPS", "0.001"))
+perturb = os.environ.get("SPARK_GRAFT_LLM_PERTURB", "dim0")
 cores = int(master[6:-1])
 spark = get_spark(app_name="llm-scal", master=master, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 
 def stage_amplified(name, amp):
-    path = f"{{stage}}/{{name}}_x{{amp}}"
+    path = f"{{stage}}/{{name}}_x{{amp}}" + (
+        f"_e{{eps}}_{{perturb}}" if name != "documents" else ""
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = spark.read.parquet(f"{{sf_dir}}/{{name}}.parquet")
         n = base.count()
@@ -56,12 +73,17 @@ def stage_amplified(name, amp):
                 F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
             )
         else:
+            if perturb == "random":
+                pert = lambda x, i: x + F.lit(eps) * F.sin(
+                    (F.col("rep") * 64 + i + 1) * F.lit(0.7)
+                ) / F.lit(8.0)
+            else:
+                pert = lambda x, i: x + F.col("rep") * F.when(
+                    i == 0, F.lit(eps)
+                ).otherwise(0.0)
             out = base.crossJoin(reps_df).select(
                 (F.col("vec_id") + F.col("rep") * (n * 10)).alias("vec_id"),
-                F.transform(
-                    F.col("embedding"),
-                    lambda x, i: x + F.col("rep") * F.when(i == 0, 0.001).otherwise(0.0),
-                ).alias("embedding"),
+                F.transform(F.col("embedding"), pert).alias("embedding"),
             )
         out.repartition(32).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
