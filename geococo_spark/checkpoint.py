@@ -32,7 +32,9 @@ class EngineMetrics:
         "tiles_matched",
         "annotations_emitted",
         "masks_empty",
-        "bytes_decoded",
+        "bytes_decoded",  # bytes actually decoded (cache misses only, ADVICE r04)
+        "decode_cache_hits",
+        "decode_cache_misses",
         "knn_fallbacks",
         "knn_unassigned",  # labels still unassigned after kNN ring escalation
         "kernel_ms",  # wall ms spent inside the tile kernel (all workers)
@@ -66,6 +68,12 @@ class StageCheckpoint:
             return None
         with open(mpath) as fh:
             return json.load(fh)
+
+    def read(self, stage: str) -> DataFrame:
+        """Read a stage's checkpointed parquet directly (the caller is
+        responsible for checking ``is_complete`` first)."""
+        data_path, _ = self._paths(stage)
+        return self.spark.read.parquet(data_path)
 
     def is_complete(self, stage: str, fingerprint: str) -> bool:
         m = self.manifest(stage)

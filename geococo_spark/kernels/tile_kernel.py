@@ -41,14 +41,48 @@ class _DecodeCache:
     memory; cached arrays are frozen read-only because every kernel step
     below either slices (views) or copies."""
 
-    def __init__(self, max_bytes: int = 512 * 1024 * 1024):
+    DEFAULT_MAX_BYTES = 128 * 1024 * 1024
+
+    def __init__(self, max_bytes: int | None = None):
+        if max_bytes is None:
+            max_bytes = self._default_budget()
         self.max_bytes = max_bytes
         self._entries: "dict[bytes, np.ndarray]" = {}
         self._total = 0
         self.hits = 0
         self.misses = 0
 
-    def get(self, data: bytes) -> np.ndarray:
+    @staticmethod
+    def _default_budget() -> int:
+        """Per-worker byte budget (ADVICE r04: the old fixed 512 MB
+        multiplied by one-Python-worker-per-core — ~16 GB aggregate at 32
+        cores). Default 128 MB, overridable via the
+        ``GEOCOCO_DECODE_CACHE_MB`` env var (set
+        ``spark.executorEnv.GEOCOCO_DECODE_CACHE_MB`` on a real cluster;
+        local-mode workers inherit the driver env). 0 disables caching."""
+        import os
+
+        try:
+            mb = int(os.environ.get("GEOCOCO_DECODE_CACHE_MB", ""))
+        except ValueError:
+            return _DecodeCache.DEFAULT_MAX_BYTES
+        return max(mb, 0) * 1024 * 1024
+
+    def set_budget(self, max_bytes: int) -> None:
+        """Shrink/grow the budget at a job boundary (plumbed through the
+        kernel factories); evicts LRU-first until the cache fits."""
+        self.max_bytes = max_bytes
+        while self._total > self.max_bytes and self._entries:
+            oldest = next(iter(self._entries))
+            self._total -= self._entries.pop(oldest).nbytes
+
+    def clear(self) -> None:
+        self._entries.clear()
+        self._total = 0
+
+    def get(self, data: bytes) -> "tuple[np.ndarray, bool]":
+        """Returns (decoded array, cache_hit) — the hit flag lets the
+        caller count bytes_decoded only on real decode work (ADVICE r04)."""
         import hashlib
 
         key = hashlib.md5(data).digest()
@@ -56,7 +90,7 @@ class _DecodeCache:
         if arr is not None:
             self._entries[key] = arr  # re-insert = move to MRU position
             self.hits += 1
-            return arr
+            return arr, True
         self.misses += 1
         arr = codec.decode_image(data)
         arr.flags.writeable = False
@@ -67,7 +101,7 @@ class _DecodeCache:
                 self._total -= self._entries.pop(oldest).nbytes
             self._entries[key] = arr
             self._total += size
-        return arr
+        return arr, False
 
 
 _decode_cache = _DecodeCache()
@@ -144,8 +178,12 @@ def run_tile_kernel(
     if len(image_pdf) == 0 or len(pairs_pdf) == 0:
         return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
     img = image_pdf.iloc[0]
-    arr = _decode_cache.get(bytes(img["bytes"]))
-    bump("bytes_decoded", len(img["bytes"]))
+    arr, cache_hit = _decode_cache.get(bytes(img["bytes"]))
+    if cache_hit:
+        bump("decode_cache_hits", 1)
+    else:
+        bump("decode_cache_misses", 1)
+        bump("bytes_decoded", len(img["bytes"]))
 
     t = img["transform"]
     a, c, e, f = float(t["a"]), float(t["c"]), float(t["e"]), float(t["f"])
@@ -350,7 +388,10 @@ def pairs_frame_from_arrays(row) -> pd.DataFrame:
 
 
 def map_kernel(
-    out_fmt: str = "jpeg", acc: dict | None = None, tile_sink_dir: str | None = None
+    out_fmt: str = "jpeg",
+    acc: dict | None = None,
+    tile_sink_dir: str | None = None,
+    cache_max_bytes: int | None = None,
 ):
     """Factory for the broadcast-path ``mapInPandas`` kernel (VERDICT r03
     #1): each input row is one self-contained image group — the image
@@ -365,6 +406,8 @@ def map_kernel(
     def _fn(batches):
         import time as _time
 
+        if cache_max_bytes is not None:
+            _decode_cache.set_budget(cache_max_bytes)
         for pdf in batches:
             for i in range(len(pdf)):
                 t0 = _time.perf_counter()
@@ -385,17 +428,25 @@ def map_kernel(
 
 
 def cogroup_kernel(
-    out_fmt: str = "jpeg", acc: dict | None = None, tile_sink_dir: str | None = None
+    out_fmt: str = "jpeg",
+    acc: dict | None = None,
+    tile_sink_dir: str | None = None,
+    cache_max_bytes: int | None = None,
 ):
     """Factory for the applyInPandas function (cogrouped by image_id, or
     by (image_id, band) when the pipeline band-splits mega-rasters).
 
     ``acc`` (accumulator dict) serializes into the worker closure so the
-    kernel can report engine metrics (checkpoint.EngineMetrics)."""
+    kernel can report engine metrics (checkpoint.EngineMetrics).
+    ``cache_max_bytes`` overrides the per-worker decode-cache byte budget
+    for this job (ADVICE r04); None keeps the worker's current budget
+    (env default)."""
 
     def _fn(image_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
         import time as _time
 
+        if cache_max_bytes is not None:
+            _decode_cache.set_budget(cache_max_bytes)
         t0 = _time.perf_counter()
         out = run_tile_kernel(
             image_pdf, pairs_pdf, out_fmt=out_fmt, acc=acc, tile_sink_dir=tile_sink_dir

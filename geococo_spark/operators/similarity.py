@@ -43,6 +43,8 @@ def _qdot_batch(qa: pd.Series, qb: pd.Series) -> pd.Series:
     is ~20-25% faster end-to-end and the gap widens with candidate
     count). int64-exact, so downstream division/rounding is unchanged
     and the DuckDB oracle still hash-matches."""
+    if len(qa) == 0:  # np.vstack raises on an empty Arrow batch (ADVICE r04)
+        return pd.Series([], dtype="int64")
     A = np.vstack(qa.to_numpy())
     B = np.vstack(qb.to_numpy())
     return pd.Series(np.einsum("ij,ij->i", A, B))

@@ -589,6 +589,11 @@ def append_dataset(
     _mark("pairs_join")
 
     acc = metrics.acc if metrics is not None else None
+    # per-worker decode-cache budget (ADVICE r04): workers default from
+    # the GEOCOCO_DECODE_CACHE_MB env var (128 MB fallback); this conf
+    # overrides per job, riding the kernel closure to every worker
+    _cache_mb = spark.conf.get("spark.geococo.decodeCacheMb", None)
+    cache_max_bytes = int(_cache_mb) * 1024 * 1024 if _cache_mb is not None else None
     if tile_sink_dir is not None:
         # pre-create the data dir so an all-empty sink is still readable
         import os as _os
@@ -633,36 +638,54 @@ def append_dataset(
         kout = img_cg.join(
             F.broadcast(pair_structs.join(geom_structs, ["image_id", "band"])),
             ["image_id", "band"],
-        ).mapInPandas(map_kernel(out_fmt, acc, tile_sink_dir), schemas.KERNEL_OUT)
+        ).mapInPandas(
+            map_kernel(out_fmt, acc, tile_sink_dir, cache_max_bytes), schemas.KERNEL_OUT
+        )
     else:
         pairs_small = _with_geom_rows(pairs_banded)
         kout = (
             img_cg.groupBy("image_id", "band")
             .cogroup(pairs_small.groupBy("image_id", "band"))
-            .applyInPandas(cogroup_kernel(out_fmt, acc, tile_sink_dir), schemas.KERNEL_OUT)
+            .applyInPandas(
+                cogroup_kernel(out_fmt, acc, tile_sink_dir, cache_max_bytes),
+                schemas.KERNEL_OUT,
+            )
         )
     if ckpt is not None:
         if tile_sink_dir is not None and ckpt.is_complete("kernel_out", fingerprint):
             # resume hit in sink mode: the kernel will NOT re-run, so the
-            # tile payload must already sit in the sink. A cleaned (or
-            # never-written) sink dir would otherwise read back zero
+            # tile payload must already sit in the sink. A cleaned (fully
+            # OR partially) sink dir would otherwise read back too few
             # payload rows and the final tiles join would silently drop
-            # every tile (ADVICE r03). Same-dir cleaning is the one case
-            # the fingerprint (which includes tile_sink_dir) cannot catch.
-            import glob as _glob
+            # the affected tiles (ADVICE r03/r04). Same-dir cleaning is
+            # the one case the fingerprint (which includes tile_sink_dir)
+            # cannot catch, so compare the sink's ROW COUNT against the
+            # checkpointed kernel_out's tile-row count — both are parquet
+            # metadata-cheap counts that run only on this rare resume path.
             import os as _os
 
             m = ckpt.manifest("kernel_out")
-            has_payload = bool(
-                _glob.glob(_os.path.join(tile_sink_dir, "data", "*.parquet"))
-            )
-            if int((m or {}).get("rows", 0)) > 0 and not has_payload:
-                raise ValueError(
-                    "checkpoint resume: kernel_out is COMPLETE for this "
-                    f"fingerprint but tile_sink_dir ({tile_sink_dir}) contains "
-                    "no tile payload files — the sink was cleaned or never "
-                    "written; delete the kernel_out checkpoint or restore the sink"
+            if int((m or {}).get("rows", 0)) > 0:
+                sink_rows = (
+                    spark.read.schema(
+                        "image_key string, tile_name string, "
+                        "tile_bytes binary, caption string"
+                    )
+                    .parquet(_os.path.join(tile_sink_dir, "data"))
+                    .count()
                 )
+                ckpt_tile_rows = (
+                    ckpt.read("kernel_out").filter(F.col("row_type") == "tile").count()
+                )
+                if sink_rows != ckpt_tile_rows:
+                    raise ValueError(
+                        "checkpoint resume: kernel_out is COMPLETE for this "
+                        f"fingerprint but tile_sink_dir ({tile_sink_dir}) holds "
+                        f"{sink_rows} payload rows vs {ckpt_tile_rows} checkpointed "
+                        "tile rows — the sink was cleaned (fully or partially) or "
+                        "never written; delete the kernel_out checkpoint or "
+                        "restore the sink"
+                    )
         kout = ckpt.run("kernel_out", fingerprint, lambda: kout, metrics)
     else:
         # several downstream actions (id counts, images, annotations) must

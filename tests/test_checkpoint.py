@@ -62,7 +62,12 @@ class TestPipelineResume:
         anns1 = sorted(map(str, out1.annotations.collect()))
         assert m1.snapshot()["annotations_emitted"] == 5
         assert m1.snapshot()["tiles_generated"] == 1
-        assert m1.snapshot()["bytes_decoded"] > 0
+        # bytes_decoded counts cache MISSES only (ADVICE r04); reused
+        # python workers may already hold these deterministic fixture
+        # bytes from an earlier test, so assert on hits+misses instead
+        s1 = m1.snapshot()
+        assert s1["decode_cache_hits"] + s1["decode_cache_misses"] > 0
+        assert s1["bytes_decoded"] >= 0
         mtime1 = os.path.getmtime(os.path.join(ckdir, "kernel_out", "manifest.json"))
 
         out2, m2 = run()
@@ -79,7 +84,7 @@ class TestPipelineResume:
         DIFFERENT sink dir busts the fingerprint and recomputes."""
         import shutil
 
-        images = datagen.images_df(spark, 1)
+        images = datagen.images_df(spark, 2)
         labels = datagen.labels_df(spark)
         ckdir = str(tmp_path / "sck")
 
@@ -97,7 +102,18 @@ class TestPipelineResume:
         out1 = run(sink1)
         n_tiles = out1.tiles.count()
         assert n_tiles > 0
-        # clean the sink, resume with the same dir -> raise, not empty tiles
+        # ADVICE r04: a PARTIALLY cleaned sink (one per-image file gone)
+        # must also raise — the old any-parquet-exists guard passed it and
+        # the tiles join silently dropped the affected image's tiles
+        import glob
+        import os
+
+        files = sorted(glob.glob(os.path.join(sink1, "data", "*.parquet")))
+        assert len(files) >= 2  # one per (image, band): partial clean is real
+        os.remove(files[0])
+        with pytest.raises(ValueError, match="tile_sink_dir"):
+            run(sink1)
+        # fully clean the sink, resume with the same dir -> raise too
         shutil.rmtree(sink1)
         with pytest.raises(ValueError, match="tile_sink_dir"):
             run(sink1)

@@ -374,18 +374,35 @@ class TestKernelScaleShape:
         ]
         arrs = [codec.decode_image(b) for b in imgs]
         cache = _DecodeCache(max_bytes=2 * arrs[0].nbytes)
-        a0 = cache.get(imgs[0])
-        assert cache.misses == 1 and cache.hits == 0
+        a0, hit = cache.get(imgs[0])
+        assert not hit and cache.misses == 1 and cache.hits == 0
         assert not a0.flags.writeable
         np.testing.assert_array_equal(a0, arrs[0])
-        assert cache.get(imgs[0]) is a0 and cache.hits == 1
+        again, hit = cache.get(imgs[0])
+        assert again is a0 and hit and cache.hits == 1
         cache.get(imgs[1])          # fills the 2-slot budget
         cache.get(imgs[0])          # touch 0 -> 1 becomes LRU
         cache.get(imgs[2])          # evicts 1
-        assert cache.get(imgs[0]) is a0          # still cached
+        assert cache.get(imgs[0])[0] is a0       # still cached
         h = cache.hits
-        cache.get(imgs[1])                       # was evicted -> miss
-        assert cache.hits == h and cache.misses == 4
+        _, hit = cache.get(imgs[1])              # was evicted -> miss
+        assert not hit and cache.hits == h and cache.misses == 4
+        # ADVICE r04: shrinking the budget at a job boundary evicts
+        cache.set_budget(arrs[0].nbytes)
+        assert cache._total <= arrs[0].nbytes and len(cache._entries) == 1
+        cache.set_budget(0)   # 0 disables caching entirely
+        _, hit = cache.get(imgs[2])
+        assert not hit and cache._total == 0 and not cache._entries
+
+    def test_decode_cache_env_budget(self, monkeypatch):
+        from geococo_spark.kernels.tile_kernel import _DecodeCache
+
+        monkeypatch.setenv("GEOCOCO_DECODE_CACHE_MB", "64")
+        assert _DecodeCache().max_bytes == 64 * 1024 * 1024
+        monkeypatch.setenv("GEOCOCO_DECODE_CACHE_MB", "not-a-number")
+        assert _DecodeCache().max_bytes == _DecodeCache.DEFAULT_MAX_BYTES
+        monkeypatch.delenv("GEOCOCO_DECODE_CACHE_MB")
+        assert _DecodeCache().max_bytes == _DecodeCache.DEFAULT_MAX_BYTES
 
     def test_adversarial_skew_full_pipeline(self, spark, tmp_path):
         """VERDICT r03 #7: salt + band interplay under worst-case skew —

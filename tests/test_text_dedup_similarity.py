@@ -215,6 +215,20 @@ class TestSimilarity:
             assert sims == sorted(sims, reverse=True)
             assert [r for r, _ in ranks] == [1, 2, 3, 4, 5]
 
+    def test_qdot_batch_empty_arrow_batch(self):
+        """ADVICE r04: np.vstack raises on a zero-row batch; the UDF body
+        must return an empty int64 series instead."""
+        import pandas as pd
+
+        out = similarity._qdot_batch.func(
+            pd.Series([], dtype=object), pd.Series([], dtype=object)
+        )
+        assert len(out) == 0 and str(out.dtype) == "int64"
+        out2 = similarity._qdot_batch.func(
+            pd.Series([[1, 2], [3, 4]]), pd.Series([[5, 6], [7, 8]])
+        )
+        assert list(out2) == [17, 53]
+
     def test_lsh_finds_planted_neighbors(self, spark):
         # recall on *random* vectors is meaningless (top-k cosines ~0.3,
         # uncorrelated with buckets); plant true neighbors instead
