@@ -34,7 +34,7 @@ from pyspark.storagelevel import StorageLevel
 from geococo_spark import schemas
 from geococo_spark.checkpoint import EngineMetrics, StageCheckpoint
 from geococo_spark.coco import CocoState
-from geococo_spark.geometry import predicates, wkb
+from geococo_spark.geometry import validate
 from geococo_spark.kernels.tile_kernel import cogroup_kernel
 from geococo_spark.operators import categories as cat_ops
 from geococo_spark.operators import grid, ids, spatial_join
@@ -46,25 +46,10 @@ class SchemaValidationError(ValueError):
 
 @pandas_udf(BooleanType())
 def _geometry_is_valid(geom: pd.Series) -> pd.Series:
-    out = []
-    for g in geom:
-        try:
-            rings = wkb.decode_rings(bytes(g))
-            ok = len(rings) > 0
-            for ring in rings:
-                if len(ring) < 4 or not (ring[0] == ring[-1]).all():
-                    ok = False
-                    break
-                if abs(predicates.ring_area(ring)) == 0.0:
-                    ok = False
-                    break
-                if not predicates.ring_is_simple(ring):
-                    ok = False
-                    break
-            out.append(ok)
-        except Exception:
-            out.append(False)
-    return pd.Series(out)
+    # numpy batch passes over the whole Arrow batch (VERDICT r04 #2) —
+    # semantics pinned against the old per-geometry loop by a property
+    # test (tests/test_geometry.py)
+    return pd.Series(validate.wkb_valid_batch(geom.to_numpy()))
 
 
 def _coerce_labels(
@@ -206,6 +191,56 @@ def banded_cogroup_inputs(
     return img_cg, pairs_banded
 
 
+def _parse_byte_conf(s: str) -> int:
+    """Spark memory/size conf string -> bytes ("8g", "512m", "10485760b",
+    bare numbers are bytes). Returns <= 0 unchanged (disabled)."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
+def auto_broadcast_pairs_rows(spark: SparkSession) -> int:
+    """Pair-count threshold for the ``auto`` kernel-input mode, derived
+    from cluster shape instead of a hard-coded constant (VERDICT r04
+    #6). The broadcast pair arrays cost ~48 B/row (position-zipped
+    primitives: 4 window longs + label_idx + category int, plus Arrow
+    framing), and the materialized broadcast must fit BOTH the driver
+    (which builds it) and every executor (which holds a copy next to the
+    decode cache), so the budget is the smaller of
+
+    - 16x ``spark.sql.autoBroadcastJoinThreshold`` — the operator ships
+      an explicit broadcast() hint, so the conf's 10 MB autodetect
+      default is a floor, not a cap; 16x tracks how admins scale that
+      knob with executor memory, and a threshold of -1 (broadcast
+      disabled) pins auto mode to cogroup,
+    - 5% of executor heap (falls back to driver memory in local mode) —
+      the broadcast is resident for the whole kernel stage.
+
+    Defaults (10 MB threshold, 8 g heap) give ~3.4M pairs — the same
+    order as the round-4 fixed 4M constant, now tracking the knobs a
+    real cluster actually tunes. See docs/PLANS.md."""
+    thr = _parse_byte_conf(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    if thr <= 0:
+        return 0
+    heap = _parse_byte_conf(
+        spark.conf.get("spark.executor.memory", None)
+        or spark.conf.get("spark.driver.memory", None)
+        or "1g"
+    )
+    budget = min(16 * thr, heap // 20)
+    return max(budget // 48, 1)
+
+
 def append_dataset(
     spark: SparkSession,
     state: CocoState,
@@ -230,7 +265,7 @@ def append_dataset(
     band_split_pairs: int | None = None,
     checkpoint_exact_digest: bool = False,
     kernel_input_mode: str = "cogroup",
-    broadcast_pairs_rows: int = 4_000_000,
+    broadcast_pairs_rows: int | None = None,
 ) -> CocoState:
     """Run the full annotate pipeline and return the appended state.
 
@@ -269,8 +304,10 @@ def append_dataset(
     an exchange — they flow scan -> broadcast join -> mapInPandas in one
     pipelined stage (plan-level test pins the no-images-exchange shape).
     ``"auto"`` picks broadcast when the materialized pair count is
-    <= ``broadcast_pairs_rows`` (~40 B/row; 4M rows ~ 200 MB broadcast).
-    Output is byte-identical across modes (pinned by test).
+    <= ``broadcast_pairs_rows`` — by default derived from
+    ``spark.sql.autoBroadcastJoinThreshold`` and executor/driver memory
+    (:func:`auto_broadcast_pairs_rows`, ~48 B/row); pass an int to pin
+    it. Output is byte-identical across modes (pinned by test).
 
     MEASURED TRADEOFF (round 4, A/B/A at local[32]/1024 images): on a
     single-JVM box the cogroup shuffle of the ~800 MB image bytes is
@@ -348,7 +385,7 @@ def append_dataset(
         F.least(F.col("w").cast("double"), _col1c) > F.greatest(F.lit(0.0), _col0c)
     ) & (F.least(F.col("h").cast("double"), _row1c) > F.greatest(F.lit(0.0), _row0c))
     t = "transform"
-    fused_row = images.crossJoin(lab_1row).agg(
+    fused_df = images.crossJoin(lab_1row).agg(
         *[F.min(f"l_{c}").alias(f"l_{c}") for c in lab_agg_df.columns],
         F.count(F.lit(1)).alias("n_images"),
         # image_id is the table key; a duplicate would silently inflate
@@ -379,7 +416,22 @@ def append_dataset(
             if checkpoint_exact_digest
             else F.lit(0)
         ).alias("bytes_digest"),
-    ).first()
+    )
+    # the session's Arrow batch size is tuned for FAT image rows in the
+    # kernel (64 rows ~ tens of MB); the validation UDF in this aggregate
+    # sees thin label rows, where each tiny batch costs a ~2 ms Python
+    # round trip (measured: 188 batches -> 0.4 s at 12k labels). Raise the
+    # batch size for this one action only, then restore for the kernel.
+    _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    _arrow_saved = spark.conf.get(_arrow_key, None)
+    spark.conf.set(_arrow_key, "10000")
+    try:
+        fused_row = fused_df.first()
+    finally:
+        if _arrow_saved is None:
+            spark.conf.unset(_arrow_key)
+        else:
+            spark.conf.set(_arrow_key, _arrow_saved)
     _mark("prologue_agg")
     fused = fused_row.asDict()
     img_agg = {k: v for k, v in fused.items() if not k.startswith("l_")}
@@ -583,9 +635,16 @@ def append_dataset(
         raise ValueError(f"unknown kernel_input_mode: {kernel_input_mode!r}")
     mode = kernel_input_mode
     if mode == "auto":
-        # pairs_thin is materialized (checkpoint parquet / localCheckpoint)
-        # so this count is a cheap metadata-ish scan, not a recompute
-        mode = "broadcast" if pairs_thin.count() <= broadcast_pairs_rows else "cogroup"
+        # threshold derived from cluster shape unless the caller pinned
+        # one (VERDICT r04 #6); pairs_thin is materialized (checkpoint
+        # parquet / localCheckpoint) so this count is a cheap
+        # metadata-ish scan, not a recompute
+        thr = (
+            broadcast_pairs_rows
+            if broadcast_pairs_rows is not None
+            else auto_broadcast_pairs_rows(spark)
+        )
+        mode = "broadcast" if pairs_thin.count() <= thr else "cogroup"
     _mark("pairs_join")
 
     acc = metrics.acc if metrics is not None else None

@@ -92,6 +92,95 @@ class TestPredicates:
         assert predicates.polygon_box_distance(poly, 5, 6, 7, 8) == pytest.approx(5.0)
 
 
+def _valid_reference_loop(g: bytes) -> bool:
+    """The pre-vectorization per-geometry validity loop (the semantics
+    wkb_valid_batch must preserve exactly)."""
+    try:
+        rings = wkb.decode_rings(bytes(g))
+        ok = len(rings) > 0
+        for ring in rings:
+            if len(ring) < 4 or not (ring[0] == ring[-1]).all():
+                return False
+            if abs(predicates.ring_area(ring)) == 0.0:
+                return False
+            if not predicates.ring_is_simple(ring):
+                return False
+        return ok
+    except Exception:
+        return False
+
+
+class TestValidateBatch:
+    def _fixtures(self):
+        rng = np.random.RandomState(11)
+        geoms = []
+        for i in range(40):  # valid buffered circles, varying size
+            geoms.append(wkb.encode_polygon([wkb.buffer_point(i, -i, 1 + i % 5)]))
+        bowtie = np.array([[0, 0], [2, 0], [1, 1], [1, -1], [0, 0]], dtype=float)
+        geoms.append(wkb.encode_polygon([bowtie]))
+        unclosed = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+        geoms.append(wkb.encode_polygon([unclosed]))
+        degenerate = np.array([[0, 0], [1, 1], [2, 2], [0, 0]], dtype=float)  # area 0
+        geoms.append(wkb.encode_polygon([degenerate]))
+        tri_open = np.array([[0, 0], [1, 0], [1, 1]], dtype=float)  # < 4 pts
+        geoms.append(wkb.encode_polygon([tri_open]))
+        geoms.append(wkb.encode_point(3.0, 4.0))  # non-polygonal
+        geoms.append(b"\x01\x99\x00\x00\x00")  # garbage type
+        geoms.append(b"")  # truncated
+        sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+        geoms.append(wkb.encode_multipolygon([[sq], [sq + 10.0]]))  # valid multi
+        geoms.append(wkb.encode_multipolygon([[sq], [bowtie]]))  # one bad child
+        # polygon with a valid hole
+        hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+        geoms.append(wkb.encode_polygon([sq, hole]))
+        # pentagram: same-sign turns but total turning 4*pi — must NOT
+        # pass the convex fast path (self-intersecting)
+        ang = np.arange(5) * 4 * np.pi / 5 + np.pi / 2
+        star = np.column_stack([np.cos(ang), np.sin(ang)])
+        geoms.append(wkb.encode_polygon([np.vstack([star, star[:1]])]))
+        # concave L-shape: fails the fast path, exact test says simple
+        ell = np.array(
+            [[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4], [0, 0]], dtype=float
+        )
+        geoms.append(wkb.encode_polygon([ell]))
+        # random jagged rings (closed, mixed simple/non-simple)
+        for _ in range(25):
+            n = rng.randint(3, 9)
+            pts = rng.rand(n, 2) * 10
+            ring = np.vstack([pts, pts[:1]])
+            geoms.append(wkb.encode_polygon([ring]))
+        return geoms
+
+    def test_parity_with_reference_loop(self):
+        from geococo_spark.geometry import validate
+
+        geoms = self._fixtures()
+        expected = [_valid_reference_loop(g) for g in geoms]
+        got = validate.wkb_valid_batch(geoms)
+        assert got.tolist() == expected
+        assert expected.count(True) >= 42 and expected.count(False) >= 6
+
+    def test_empty_batch(self):
+        from geococo_spark.geometry import validate
+
+        assert validate.wkb_valid_batch([]).tolist() == []
+
+    def test_rings_simple_batch_parity_and_chunking(self):
+        rng = np.random.RandomState(5)
+        for npts in (4, 5, 8, 12):
+            rings = []
+            for _ in range(30):
+                pts = rng.rand(npts - 1, 2) * 10
+                rings.append(np.vstack([pts, pts[:1]]))
+            stacked = np.stack(rings)
+            expected = [predicates.ring_is_simple(r) for r in rings]
+            got = predicates.rings_simple_batch(stacked)
+            # tiny chunk_pairs forces the chunked path
+            got_chunked = predicates.rings_simple_batch(stacked, chunk_pairs=8)
+            assert got.tolist() == expected
+            assert got_chunked.tolist() == expected
+
+
 IDENTITY_NORTH_UP = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
 
 
