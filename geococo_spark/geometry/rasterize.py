@@ -192,6 +192,7 @@ def _supercover_mark_all(mask: np.ndarray, rings_px: list[np.ndarray]) -> None:
         return
 
     ex0, ey0 = x0[eidx], y0[eidx]
+    ex1 = x1[eidx]
     dx = (x1 - x0)[eidx]
     dy = (y1 - y0)[eidx]
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
@@ -201,8 +202,12 @@ def _supercover_mark_all(mask: np.ndarray, rings_px: list[np.ndarray]) -> None:
     thi = np.minimum(np.maximum(t0, t1), 1.0)
     flat_dy = dy == 0
     keep = flat_dy | (thi >= tlo)
+    # flat edges take x1 directly, NOT x0 + dx: recomputing the endpoint
+    # through dx re-rounds (e.g. x0=-1, x1=1.4e-45 gives dx=1.0 exactly
+    # and x0+dx=0.0, collapsing the span onto the grid line) — the
+    # scalar reference uses the endpoints verbatim, so must we
     xa = np.where(flat_dy, ex0, ex0 + tlo * dx)
-    xb = np.where(flat_dy, ex0 + dx, ex0 + thi * dx)
+    xb = np.where(flat_dy, ex1, ex0 + thi * dx)
     rows, xa, xb = rows[keep], xa[keep], xb[keep]
     if rows.size == 0:
         return

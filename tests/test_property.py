@@ -112,6 +112,27 @@ class TestSupercoverEquivalence:
         rasterize._supercover_mark_all(vector, [ring])
         np.testing.assert_array_equal(vector, scalar)
 
+    def test_flat_edge_denormal_endpoint(self):
+        """Round-5 regression (hypothesis find): a flat gridline edge
+        whose endpoint is a denormal (x1=1.4e-45) collapsed to a zero
+        span when the vectorized path recomputed it as x0 + dx (dx
+        rounds to 1.0 exactly); the scalar reference uses x1 verbatim
+        and marks (0,0)."""
+        ring = np.array(
+            [[-1.0, 0.0], [1.40129846e-45, 0.0], [0.0, -1.0], [-1.0, 0.0]]
+        )
+        shape = (16, 16)
+        scalar = np.zeros(shape, dtype=bool)
+        for i in range(len(ring) - 1):
+            rasterize._mark_edge_supercover(
+                scalar, float(ring[i, 0]), float(ring[i, 1]),
+                float(ring[i + 1, 0]), float(ring[i + 1, 1]),
+            )
+        vector = np.zeros(shape, dtype=bool)
+        rasterize._supercover_mark_all(vector, [ring])
+        assert vector[0, 0]
+        np.testing.assert_array_equal(vector, scalar)
+
 
 class TestWkbProperties:
     @NO_DEADLINE
