@@ -351,6 +351,48 @@ def ivf_topk(
     )
 
 
+def neardup_candidate_ids(
+    base: DataFrame,
+    dim: int,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 500,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate-pair generation half of
+    :func:`embedding_near_duplicates` — hyperplane banding over ids-only
+    rows, optional hot-bucket cap, canonical dedup. Split out (round 5)
+    so scaling benches can phase-decompose banding vs verify wall time;
+    ``base`` must carry (vid, emb) columns."""
+    planes = [int_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
+    # all tables in ONE Arrow pass; posexplode's position == table index
+    # (bit-identical buckets to the per-table UDFs, same oracle SQL)
+    sig_all = multi_table_signature_udf(planes)
+    qcol = _qvec(F.col("emb"))
+    tagged = base.select(
+        "vid", F.posexplode(sig_all(qcol)).alias("t", "b")
+    ).select("vid", F.col("t").cast("int").alias("t"), "b")
+    if max_bucket_size is not None:
+        keep = (
+            tagged.groupBy("t", "b")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .select("t", "b")
+        )
+        tagged = tagged.join(keep, ["t", "b"])
+    return (
+        tagged.alias("a")
+        .join(
+            tagged.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     dim: int,
@@ -396,33 +438,10 @@ def embedding_near_duplicates(
     (recall-only tradeoff — the verify threshold is unchanged). Mirror
     the cap in the oracle SQL when used.
     """
-    planes = [int_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
-    # all tables in ONE Arrow pass; posexplode's position == table index
-    # (bit-identical buckets to the per-table UDFs, same oracle SQL)
-    sig_all = multi_table_signature_udf(planes)
     base = vectors.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
-    qcol = _qvec(F.col("emb"))
-    tagged = base.select(
-        "vid", F.posexplode(sig_all(qcol)).alias("t", "b")
-    ).select("vid", F.col("t").cast("int").alias("t"), "b")
-    if max_bucket_size is not None:
-        keep = (
-            tagged.groupBy("t", "b")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .select("t", "b")
-        )
-        tagged = tagged.join(keep, ["t", "b"])
-    cand_ids = (
-        tagged.alias("a")
-        .join(
-            tagged.alias("b"),
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand_ids = neardup_candidate_ids(
+        base, dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     # verify on candidates only, with squared norms computed ONCE per
     # vector (the per-pair re-computation was 3 array-dots per candidate

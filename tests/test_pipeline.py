@@ -394,6 +394,36 @@ class TestKernelScaleShape:
         _, hit = cache.get(imgs[2])
         assert not hit and cache._total == 0 and not cache._entries
 
+    def test_auto_broadcast_pairs_rows_derivation(self, spark):
+        """VERDICT r04 #6: the auto kernel-input threshold tracks
+        autoBroadcastJoinThreshold and executor memory instead of a
+        fixed constant."""
+        from geococo_spark import pipeline as P
+
+        assert P._parse_byte_conf("10485760b") == 10 * 1024 * 1024
+        assert P._parse_byte_conf("8g") == 8 << 30
+        assert P._parse_byte_conf("512m") == 512 << 20
+        assert P._parse_byte_conf("1.5gb") == int(1.5 * (1 << 30))
+        assert P._parse_byte_conf("-1") == -1
+
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        saved = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "10485760b")
+            base = P.auto_broadcast_pairs_rows(spark)
+            # 16 x 10MB / 48B -- unless capped by the 5% heap budget
+            assert base > 1_000_000
+            spark.conf.set(key, "20971520b")  # 2x threshold
+            doubled = P.auto_broadcast_pairs_rows(spark)
+            assert doubled >= base  # scales with the knob (may hit heap cap)
+            spark.conf.set(key, "-1")  # broadcast disabled -> cogroup only
+            assert P.auto_broadcast_pairs_rows(spark) == 0
+        finally:
+            if saved is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, saved)
+
     def test_decode_cache_env_budget(self, monkeypatch):
         from geococo_spark.kernels.tile_kernel import _DecodeCache
 

@@ -103,6 +103,18 @@ def build(op):
         return lambda: sim.embedding_near_duplicates(
             embs, dim=64, threshold=0.8, n_planes=8, n_tables=6
         ).count()
+    if op == "embedding_neardup_cand":
+        # banding/candidate-generation phase ONLY (VERDICT r04 #1): same
+        # signatures/banding/dedup subtree as embedding_neardup, no
+        # verify attach — run back-to-back with the full op in one
+        # campaign window and difference the walls to attribute phases
+        embs = stage_amplified("embeddings", amp)
+        base = embs.select(
+            F.col("vec_id").alias("vid"), F.col("embedding").alias("emb")
+        )
+        return lambda: sim.neardup_candidate_ids(
+            base, dim=64, n_planes=8, n_tables=6
+        ).count()
     if op == "ivf_topk":
         embs = stage_amplified("embeddings", amp)
         probes = embs.filter(F.col("vec_id") % 97 == 3).select(
