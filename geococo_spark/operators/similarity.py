@@ -455,19 +455,45 @@ def embedding_near_duplicates(
     qb_side = qbase.select(
         F.col("vid").alias("id_b"), F.col("qv").alias("qb"), F.col("nv").alias("nb")
     )
-    if broadcast_vectors_rows and vectors.count() <= broadcast_vectors_rows:
+    small_corpus = bool(broadcast_vectors_rows) and vectors.count() <= broadcast_vectors_rows
+    if small_corpus:
         qa_side, qb_side = F.broadcast(qa_side), F.broadcast(qb_side)
+    else:
+        # beyond-broadcast corpora (round 5, measured at 1M vectors /
+        # 28.4M candidates): the default sort-merge attach SORTS the
+        # huge candidate side twice and anti-scaled with cores (amp=256
+        # campaign: verify ~50 s at local[8] -> ~89 s at local[32],
+        # spill-bound). A shuffle-hash join hash-exchanges both sides
+        # but builds only the (corpus-sized) qv side per partition —
+        # no candidate-side sort at any scale, ~17 MB build per
+        # partition at 1M vectors / 32 partitions. Same rows, same
+        # values; join strategy only.
+        qa_side = qa_side.hint("SHUFFLE_HASH")
+        qb_side = qb_side.hint("SHUFFLE_HASH")
     cand = cand_ids.join(qa_side, "id_a").join(qb_side, "id_b")
-    # exact integer dots batched through ONE Arrow pass (numpy matmul);
-    # the division + HALF_UP rounding stay JVM-side so the rounded value
-    # is bit-identical to the old per-pair fold and the oracle SQL
+    # dot-product strategy by corpus regime (both int64-exact, so the
+    # rounded cosine — division + HALF_UP stay JVM-side — is
+    # bit-identical either way, and the oracle SQL matches both):
+    # - small corpus (the broadcast regime): ONE Arrow pass + numpy
+    #   matmul (_qdot_batch) — measured 20-25% faster at ~300k
+    #   candidates (round 4),
+    # - large corpus: the JVM zip_with/aggregate fold — the Arrow path
+    #   ships both 64-long arrays per candidate to Python (~30 GB at
+    #   28.4M candidates) and ANTI-SCALES with threads on shared DRAM
+    #   (measured round 5, amp=256: dot phase 79 s at local[8] ->
+    #   160 s at local[32], while the JVM fold went 44 -> 37 s).
+    pair_dot = (
+        _qdot_batch(F.col("qa"), F.col("qb"))
+        if small_corpus
+        else _dot(F.col("qa"), F.col("qb"))
+    )
     cos = F.round(
         F.col("pair_dot")
         / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
         6,
     )
     return (
-        cand.withColumn("pair_dot", _qdot_batch(F.col("qa"), F.col("qb")))
+        cand.withColumn("pair_dot", pair_dot)
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

@@ -215,6 +215,21 @@ class TestSimilarity:
             assert sims == sorted(sims, reverse=True)
             assert [r for r, _ in ranks] == [1, 2, 3, 4, 5]
 
+    def test_neardup_shuffle_hash_attach_identical(self, spark, embs):
+        """Round 5: beyond the broadcast threshold the verify attach uses
+        a shuffle-hash join (no candidate-side sort). Values must be
+        identical to the broadcast path, and the plan must contain
+        ShuffledHashJoin (not SortMergeJoin) for the attach."""
+        kw = dict(dim=64, threshold=0.8, n_planes=8, n_tables=6)
+        bc = similarity.embedding_near_duplicates(
+            embs, broadcast_vectors_rows=200_000, **kw
+        )
+        sh = similarity.embedding_near_duplicates(embs, broadcast_vectors_rows=0, **kw)
+        assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
     def test_qdot_batch_empty_arrow_batch(self):
         """ADVICE r04: np.vstack raises on a zero-row batch; the UDF body
         must return an empty int64 series instead."""

@@ -73,17 +73,68 @@ def stage_amplified(name, amp):
                 F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
             )
         else:
-            if perturb == "random":
-                pert = lambda x, i: x + F.lit(eps) * F.sin(
-                    (F.col("rep") * 64 + i + 1) * F.lit(0.7)
-                ) / F.lit(8.0)
+            if perturb == "rotate":
+                # amp-LINEAR workload (VERDICT r04 #1): a per-rep SIGNED
+                # PERMUTATION of dims. Intra-rep cosines are EXACTLY
+                # invariant (sum sign_i^2 x[p(i)] y[p(i)] == x.y), so each
+                # rep contributes the base corpus's own near-dup pairs —
+                # output grows linearly in amp by construction — while
+                # cross-rep copies of one vector decorrelate (cos(u, Pu)
+                # ~ 0 for a pseudo-random signed permutation). The earlier
+                # sine-offset "random" mode kept reps phase-correlated
+                # (sin(0.7*64) aliases to a 0.82 rad shift per rep) and
+                # measured QUADRATIC (rows x3.98 at amp x2).
+                a = (F.col("rep") * 7919) % 32 * 2 + 1  # odd -> bijection mod 64
+                b = (F.col("rep") * 104729) % 64
+                idx = F.sequence(F.lit(0), F.lit(63))
+                perm = lambda i: F.element_at(
+                    F.col("embedding"), (F.pmod(i * a + b, F.lit(64)) + 1).cast("int")
+                )
+                sign = lambda i: F.when(
+                    F.pmod(F.xxhash64(i, F.col("rep")), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+                emb = F.transform(idx, lambda i: perm(i) * sign(i))
+                # the base corpus has NO intra pairs at threshold 0.8
+                # (the quadratic mode's output was all cross-rep pairs),
+                # so plant exactly ONE near-dup twin per (vector, rep):
+                # a small deterministic jitter (cos ~ 0.999). Output =
+                # amp x n x recall — linear in amp by construction.
+                jit = F.transform(
+                    emb,
+                    lambda x, i: x
+                    + F.lit(0.01) * F.sin((F.col("rep") + 1) * (i + 3) * F.lit(2.39996)),
+                )
+                rotated = base.crossJoin(reps_df)
+                out = rotated.select(
+                    (F.col("vec_id") + F.col("rep") * (n * 10)).alias("vec_id"),
+                    emb.alias("embedding"),
+                ).unionByName(
+                    rotated.select(
+                        (
+                            F.col("vec_id") + F.col("rep") * (n * 10) + n * amp * 100
+                        ).alias("vec_id"),
+                        jit.alias("embedding"),
+                    )
+                )
+                out.repartition(32).write.mode("overwrite").parquet(path)
+                return spark.read.parquet(path)
+            elif perturb == "random":
+                emb = F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x + F.lit(eps) * F.sin(
+                        (F.col("rep") * 64 + i + 1) * F.lit(0.7)
+                    ) / F.lit(8.0),
+                )
             else:
-                pert = lambda x, i: x + F.col("rep") * F.when(
-                    i == 0, F.lit(eps)
-                ).otherwise(0.0)
+                emb = F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x + F.col("rep") * F.when(
+                        i == 0, F.lit(eps)
+                    ).otherwise(0.0),
+                )
             out = base.crossJoin(reps_df).select(
                 (F.col("vec_id") + F.col("rep") * (n * 10)).alias("vec_id"),
-                F.transform(F.col("embedding"), pert).alias("embedding"),
+                emb.alias("embedding"),
             )
         out.repartition(32).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -100,8 +151,21 @@ def build(op):
         return lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
     if op == "embedding_neardup":
         embs = stage_amplified("embeddings", amp)
+        # constant-occupancy hash width (rotate mode): with n_planes
+        # FIXED, doubling the corpus doubles per-bucket occupancy and
+        # QUADRUPLES candidate pairs — a workload artifact, not operator
+        # scaling. Production sizes the hash so buckets stay ~constant:
+        # n_planes ~ log2(n/target_occupancy). The quadratic legacy modes
+        # keep the fixed width for continuity with rounds 3-4.
+        if perturb == "rotate":
+            import math
+
+            n_vec = embs.count()
+            planes = max(8, min(20, int(math.ceil(math.log2(max(n_vec, 16) / 4.0)))))
+        else:
+            planes = 8
         return lambda: sim.embedding_near_duplicates(
-            embs, dim=64, threshold=0.8, n_planes=8, n_tables=6
+            embs, dim=64, threshold=0.8, n_planes=planes, n_tables=6
         ).count()
     if op == "embedding_neardup_cand":
         # banding/candidate-generation phase ONLY (VERDICT r04 #1): same
@@ -109,11 +173,18 @@ def build(op):
         # verify attach — run back-to-back with the full op in one
         # campaign window and difference the walls to attribute phases
         embs = stage_amplified("embeddings", amp)
+        if perturb == "rotate":
+            import math
+
+            n_vec = embs.count()
+            planes = max(8, min(20, int(math.ceil(math.log2(max(n_vec, 16) / 4.0)))))
+        else:
+            planes = 8
         base = embs.select(
             F.col("vec_id").alias("vid"), F.col("embedding").alias("emb")
         )
         return lambda: sim.neardup_candidate_ids(
-            base, dim=64, n_planes=8, n_tables=6
+            base, dim=64, n_planes=planes, n_tables=6
         ).count()
     if op == "ivf_topk":
         embs = stage_amplified("embeddings", amp)
