@@ -524,6 +524,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _tiles_grid(spark), labels, cell_size=100.0, label_id="label_idx"
         ).select("tile_id", "label_idx")
 
+    def q_spatial_join_star(spark, sf_dir):
+        # Round 5: the EXACT polygon intersects predicate (F1/J1's core,
+        # predicates.box_intersects_polygon — Liang-Barsky edge clipping
+        # + even-odd corner test + vertex-in-box), oracle-pinned.
+        # q_spatial_join_exact stays rows-only because its labels come
+        # from numpy's RandomState; these CONCAVE 8-point star polygons
+        # derive from customer keys with dyadic-exact vertex offsets
+        # (center +- s*{1, 0.35, 0}), so both engines compute
+        # bit-identical doubles and the oracle SQL ports the predicate
+        # formula literally (same divisions, same strict/loose
+        # comparisons).
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        from geococo_spark.geometry import wkb as WKB
+        from geococo_spark.operators import spatial_join
+
+        dxs = [1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35]
+        dys = [0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35]
+
+        @pandas_udf(BinaryType())
+        def _star_wkb(px, py, s):
+            out = []
+            for x, y, sc in zip(px, py, s):
+                ring = np.array(
+                    [[x + sc * dx, y + sc * dy] for dx, dy in zip(dxs, dys)]
+                    + [[x + sc * dxs[0], y + sc * dys[0]]],
+                    dtype=np.float64,
+                )
+                out.append(WKB.encode_polygon([ring]))
+            return pd.Series(out)
+
+        labels = (
+            _t(spark, sf_dir, "customer")
+            .selectExpr(
+                "c_custkey AS label_id",
+                f"CAST({_PX} AS DOUBLE) AS px",
+                f"CAST({_PY} AS DOUBLE) AS py",
+                f"CAST({_S} AS DOUBLE) AS s",
+            )
+            .select(
+                "label_id",
+                (F.col("px") - F.col("s")).alias("label_minx"),
+                (F.col("py") - F.col("s")).alias("label_miny"),
+                (F.col("px") + F.col("s")).alias("label_maxx"),
+                (F.col("py") + F.col("s")).alias("label_maxy"),
+                _star_wkb("px", "py", "s").alias("geometry"),
+            )
+        )
+        return spatial_join.spatial_join(
+            _tiles_grid(spark), labels, cell_size=100.0, label_id="label_id"
+        ).select("tile_id", "label_id")
+
     def q_knn_fallback(spark, sf_dir):
         from geococo_spark.operators import knn
         from geococo_spark.sources import datagen
@@ -754,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
         "q_spatial_join_exact": q_spatial_join_exact,
+        "q_spatial_join_star": q_spatial_join_star,
         "q_knn_fallback": q_knn_fallback,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
@@ -1070,6 +1126,70 @@ SELECT tile_id, label_id, ann_id,
   END AS rle_counts,
   (c1 - c0 + 1) * (r1 - r0 + 1) AS rle_area
 FROM anns
+"""
+
+
+_STAR_DX = "[1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35]"
+_STAR_DY = "[0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35]"
+
+
+def _spatial_join_star_oracle_sql() -> str:
+    """Exact intersects(tile box, concave star polygon) in SQL — a
+    literal port of predicates.box_intersects_polygon: per-edge
+    Liang-Barsky clipping (entering p<0 raises t0, exiting p>0 lowers
+    t1, parallel-and-outside rejects), even-odd ray cast of the
+    (tile_minx, tile_miny) corner, and the vertex0-in-box containment
+    case. Vertices are dyadic-exact (center +- s*{1,0.35,0}) so both
+    engines produce bit-identical doubles through identical IEEE ops."""
+    return f"""
+WITH tiles AS ({_TILES_SQL}),
+stars AS (
+  SELECT c_custkey AS label_id,
+         CAST({_PX} AS DOUBLE) AS px,
+         CAST({_PY} AS DOUBLE) AS py,
+         CAST({_S} AS DOUBLE) AS s
+  FROM customer),
+pairs AS (
+  SELECT t.tile_id, st.label_id,
+         t.tile_minx, t.tile_miny, t.tile_maxx, t.tile_maxy,
+         st.px, st.py, st.s
+  FROM tiles t JOIN stars st
+    ON t.tile_minx <= st.px + st.s AND t.tile_maxx >= st.px - st.s
+   AND t.tile_miny <= st.py + st.s AND t.tile_maxy >= st.py - st.s),
+edges AS (
+  SELECT p.*, e.k,
+         px + s * ({_STAR_DX})[e.k + 1] AS x0,
+         py + s * ({_STAR_DY})[e.k + 1] AS y0,
+         px + s * ({_STAR_DX})[(e.k + 1) % 8 + 1] AS x1,
+         py + s * ({_STAR_DY})[(e.k + 1) % 8 + 1] AS y1
+  FROM pairs p, (SELECT unnest(generate_series(0, 7)) AS k) e),
+lb AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM edges),
+clip AS (
+  SELECT *,
+    ((dx = 0 AND (x0 - tile_minx < 0 OR tile_maxx - x0 < 0)) OR
+     (dy = 0 AND (y0 - tile_miny < 0 OR tile_maxy - y0 < 0))) AS rejected,
+    greatest(0.0,
+      CASE WHEN dx > 0 THEN (x0 - tile_minx) / (-dx) ELSE -1e308 END,
+      CASE WHEN dx < 0 THEN (tile_maxx - x0) / dx ELSE -1e308 END,
+      CASE WHEN dy > 0 THEN (y0 - tile_miny) / (-dy) ELSE -1e308 END,
+      CASE WHEN dy < 0 THEN (tile_maxy - y0) / dy ELSE -1e308 END) AS t0,
+    least(1.0,
+      CASE WHEN dx < 0 THEN (x0 - tile_minx) / (-dx) ELSE 1e308 END,
+      CASE WHEN dx > 0 THEN (tile_maxx - x0) / dx ELSE 1e308 END,
+      CASE WHEN dy < 0 THEN (y0 - tile_miny) / (-dy) ELSE 1e308 END,
+      CASE WHEN dy > 0 THEN (tile_maxy - y0) / dy ELSE 1e308 END) AS t1
+  FROM lb),
+agg AS (
+  SELECT tile_id, label_id,
+    bool_or(NOT rejected AND t0 <= t1) AS edge_hit,
+    (sum(CASE WHEN (y0 > tile_miny) != (y1 > tile_miny)
+              THEN CASE WHEN tile_minx < x0 + (tile_miny - y0) * dx / dy
+                        THEN 1 ELSE 0 END
+              ELSE 0 END) % 2) = 1 AS corner_in,
+    bool_or(k = 0 AND tile_minx <= x0 AND x0 <= tile_maxx
+            AND tile_miny <= y0 AND y0 <= tile_maxy) AS v0_in
+  FROM clip GROUP BY tile_id, label_id)
+SELECT tile_id, label_id FROM agg WHERE edge_hit OR corner_in OR v0_in
 """
 
 
@@ -1422,4 +1542,5 @@ SELECT tile_id, label_id, ann_id,
 FROM anns
 """,
         "q_coco_rle": _coco_rle_oracle_sql(),
+        "q_spatial_join_star": _spatial_join_star_oracle_sql(),
     }
