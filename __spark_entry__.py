@@ -579,6 +579,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _tiles_grid(spark), labels, cell_size=100.0, label_id="label_id"
         ).select("tile_id", "label_id")
 
+    def q_knn_star(spark, sf_dir):
+        # Round 5: the exact polygon-to-box DISTANCE (J5's ranking
+        # metric, predicates.polygon_box_distance — intersects -> 0,
+        # else min over vertex->clamped-box and corner->edge projected
+        # distances) oracle-pinned on the same dyadic-exact star
+        # polygons as q_spatial_join_star. Brute-force labeled baseline
+        # (cross join over the 100-tile grid) like q_knn_bbox; the
+        # production ring-escalation candidate path stays pytest-pinned
+        # (q_knn_fallback, rows-only).
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import DoubleType
+
+        from geococo_spark.geometry import predicates
+
+        dxs = [1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35]
+        dys = [0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35]
+
+        @pandas_udf(DoubleType())
+        def _star_box_dist(px, py, s, bminx, bminy, bmaxx, bmaxy):
+            out = []
+            for x, y, sc, x0, y0, x1, y1 in zip(
+                px, py, s, bminx, bminy, bmaxx, bmaxy
+            ):
+                ring = np.array(
+                    [[x + sc * dx, y + sc * dy] for dx, dy in zip(dxs, dys)]
+                    + [[x + sc * dxs[0], y + sc * dys[0]]],
+                    dtype=np.float64,
+                )
+                out.append(
+                    predicates.polygon_box_distance(
+                        [ring], float(x0), float(y0), float(x1), float(y1)
+                    )
+                )
+            return pd.Series(out)
+
+        stars = _t(spark, sf_dir, "customer").selectExpr(
+            "c_custkey AS label_id",
+            f"CAST({_PX} AS DOUBLE) AS px",
+            f"CAST({_PY} AS DOUBLE) AS py",
+            f"CAST({_S} AS DOUBLE) AS s",
+        )
+        scored = stars.crossJoin(F.broadcast(_tiles_grid(spark))).withColumn(
+            "dist",
+            F.round(
+                _star_box_dist(
+                    "px", "py", "s",
+                    "tile_minx", "tile_miny", "tile_maxx", "tile_maxy",
+                ),
+                6,
+            ),
+        )
+        w = Window.partitionBy("label_id").orderBy(
+            F.col("dist").asc(), F.col("tile_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("label_id", "tile_id", "dist")
+        )
+
     def q_knn_fallback(spark, sf_dir):
         from geococo_spark.operators import knn
         from geococo_spark.sources import datagen
@@ -810,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_spatial_join_exact": q_spatial_join_exact,
         "q_spatial_join_star": q_spatial_join_star,
+        "q_knn_star": q_knn_star,
         "q_knn_fallback": q_knn_fallback,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
@@ -1193,6 +1256,95 @@ SELECT tile_id, label_id FROM agg WHERE edge_hit OR corner_in OR v0_in
 """
 
 
+def _knn_star_oracle_sql() -> str:
+    """Exact polygon-to-box distance in SQL — a literal port of
+    predicates.polygon_box_distance over the star polygons: 0 when the
+    box intersects the polygon (same three-branch test as
+    q_spatial_join_star, behind the bbox-disjoint early-out), else
+    sqrt(min(vertex -> clamped-box point, box corner -> edge projected
+    point)), rounded to 6 like the Spark side. 32 corner-edge rows per
+    (label, tile) pair; the even-odd corner test counts each edge once
+    (c = 0 rows only)."""
+    return f"""
+WITH tiles AS ({_TILES_SQL}),
+stars AS (
+  SELECT c_custkey AS label_id,
+         CAST({_PX} AS DOUBLE) AS px,
+         CAST({_PY} AS DOUBLE) AS py,
+         CAST({_S} AS DOUBLE) AS s
+  FROM customer),
+pairs AS (
+  SELECT t.tile_id, st.label_id,
+         t.tile_minx, t.tile_miny, t.tile_maxx, t.tile_maxy,
+         st.px, st.py, st.s,
+         (t.tile_minx <= st.px + st.s AND t.tile_maxx >= st.px - st.s
+          AND t.tile_miny <= st.py + st.s AND t.tile_maxy >= st.py - st.s)
+           AS bbox_ok
+  FROM tiles t CROSS JOIN stars st),
+edges AS (
+  SELECT p.*, e.k, c.c,
+         px + s * ({_STAR_DX})[e.k + 1] AS x0,
+         py + s * ({_STAR_DY})[e.k + 1] AS y0,
+         px + s * ({_STAR_DX})[(e.k + 1) % 8 + 1] AS x1,
+         py + s * ({_STAR_DY})[(e.k + 1) % 8 + 1] AS y1,
+         CASE WHEN c.c IN (0, 1) THEN tile_minx ELSE tile_maxx END AS ccx,
+         CASE WHEN c.c IN (0, 2) THEN tile_miny ELSE tile_maxy END AS ccy
+  FROM pairs p,
+       (SELECT unnest(generate_series(0, 7)) AS k) e,
+       (SELECT unnest(generate_series(0, 3)) AS c) c),
+lb AS (
+  SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM edges),
+terms AS (
+  SELECT *,
+    ((dx = 0 AND (x0 - tile_minx < 0 OR tile_maxx - x0 < 0)) OR
+     (dy = 0 AND (y0 - tile_miny < 0 OR tile_maxy - y0 < 0))) AS rejected,
+    greatest(0.0,
+      CASE WHEN dx > 0 THEN (x0 - tile_minx) / (-dx) ELSE -1e308 END,
+      CASE WHEN dx < 0 THEN (tile_maxx - x0) / dx ELSE -1e308 END,
+      CASE WHEN dy > 0 THEN (y0 - tile_miny) / (-dy) ELSE -1e308 END,
+      CASE WHEN dy < 0 THEN (tile_maxy - y0) / dy ELSE -1e308 END) AS t0,
+    least(1.0,
+      CASE WHEN dx < 0 THEN (x0 - tile_minx) / (-dx) ELSE 1e308 END,
+      CASE WHEN dx > 0 THEN (tile_maxx - x0) / dx ELSE 1e308 END,
+      CASE WHEN dy < 0 THEN (y0 - tile_miny) / (-dy) ELSE 1e308 END,
+      CASE WHEN dy > 0 THEN (tile_maxy - y0) / dy ELSE 1e308 END) AS t1,
+    (x0 - least(greatest(x0, tile_minx), tile_maxx))
+      * (x0 - least(greatest(x0, tile_minx), tile_maxx))
+    + (y0 - least(greatest(y0, tile_miny), tile_maxy))
+      * (y0 - least(greatest(y0, tile_miny), tile_maxy)) AS vd2,
+    least(greatest(((ccx - x0) * dx + (ccy - y0) * dy)
+                     / (dx * dx + dy * dy), 0.0), 1.0) AS tseg
+  FROM lb),
+dists AS (
+  SELECT *,
+    (ccx - (x0 + tseg * dx)) * (ccx - (x0 + tseg * dx))
+    + (ccy - (y0 + tseg * dy)) * (ccy - (y0 + tseg * dy)) AS ed2
+  FROM terms),
+agg AS (
+  SELECT tile_id, label_id,
+    bool_or(bbox_ok AND NOT rejected AND t0 <= t1) AS edge_hit,
+    (sum(CASE WHEN c = 0 AND (y0 > tile_miny) != (y1 > tile_miny)
+              THEN CASE WHEN tile_minx < x0 + (tile_miny - y0) * dx / dy
+                        THEN 1 ELSE 0 END
+              ELSE 0 END) % 2) = 1 AS corner_in,
+    bool_or(k = 0 AND tile_minx <= x0 AND x0 <= tile_maxx
+            AND tile_miny <= y0 AND y0 <= tile_maxy) AS v0_in,
+    bool_or(bbox_ok) AS bbox_ok,
+    least(min(vd2), min(ed2)) AS d2
+  FROM dists GROUP BY tile_id, label_id),
+scored AS (
+  SELECT label_id, tile_id,
+    CASE WHEN bbox_ok AND (edge_hit OR corner_in OR v0_in)
+         THEN 0.0 ELSE round(sqrt(d2), 6) END AS dist
+  FROM agg),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label_id
+                               ORDER BY dist ASC, tile_id ASC) AS rn
+  FROM scored)
+SELECT label_id, tile_id, dist FROM ranked WHERE rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     grid_sql = """
 WITH parents AS (
@@ -1543,4 +1695,5 @@ FROM anns
 """,
         "q_coco_rle": _coco_rle_oracle_sql(),
         "q_spatial_join_star": _spatial_join_star_oracle_sql(),
+        "q_knn_star": _knn_star_oracle_sql(),
     }
