@@ -111,6 +111,8 @@ def main() -> None:
         "q_ann_ivf",
         "q_ann_lsh",
         "q_coco_boxes",
+        "q_coco_rle",
+        "q_spatial_join_star",
         "q_events_window",
     ]
     queries = entry_mod.queries()
