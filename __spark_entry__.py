@@ -28,6 +28,12 @@ _PX = "(c_custkey * 7919) % 990 + 5"
 _PY = "-((c_custkey * 104729) % 990) - 5"
 _S = "c_custkey % 5 + 1"
 
+# wide-scattered star centers for the ring-escalation oracle: centroid
+# cells span cx in [-64, 63], cy in [-96, 32] at cell_size=100, so every
+# doubling ring level 2..64 fires and some labels exceed max_rings=64
+_EPX = "(c_custkey * 7919) % 12800 - 6400"
+_EPY = "3200 - ((c_custkey * 104729) % 12800)"
+
 CELL_STRIDE = 2097152  # geococo_spark.operators.cells.CELL_STRIDE
 
 
@@ -652,6 +658,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "label_id", "tile_id", F.round("knn_distance", 6).alias("knn_distance")
         )
 
+    def q_knn_escalate(spark, sf_dir):
+        # Round 5: the PRODUCTION ring-escalation walk (J5 escalate=True,
+        # operators/knn.py:76 — the pipeline's kNN fallback shape;
+        # SURVEY.md J5, north_star capability with no reference analog)
+        # oracle-pinned end-to-end. Star labels are scattered over ~128x128 cells so
+        # every doubling level 2..64 fires and ~17% of labels exceed
+        # max_rings=64 (dropped, like the loop). The DuckDB oracle picks,
+        # per label, the smallest level whose Chebyshev cell neighborhood
+        # of the centroid cell reaches a tile cover cell, then ranks that
+        # level's candidates by the exact unrounded polygon-to-box
+        # distance with (distance, tile_id) ties — exactly the per-pass
+        # semantics, since each pass runs only on the remainder.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        from geococo_spark.geometry import wkb as WKB
+        from geococo_spark.operators import knn
+
+        dxs = [1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35]
+        dys = [0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35]
+
+        @pandas_udf(BinaryType())
+        def _star_wkb(px, py, s):
+            out = []
+            for x, y, sc in zip(px, py, s):
+                ring = np.array(
+                    [[x + sc * dx, y + sc * dy] for dx, dy in zip(dxs, dys)]
+                    + [[x + sc * dxs[0], y + sc * dys[0]]],
+                    dtype=np.float64,
+                )
+                out.append(WKB.encode_polygon([ring]))
+            return pd.Series(out)
+
+        labels = (
+            _t(spark, sf_dir, "customer")
+            .selectExpr(
+                "c_custkey AS label_id",
+                f"CAST({_EPX} AS DOUBLE) AS px",
+                f"CAST({_EPY} AS DOUBLE) AS py",
+                f"CAST({_S} AS DOUBLE) AS s",
+            )
+            .select(
+                "label_id",
+                (F.col("px") - F.col("s")).alias("label_minx"),
+                (F.col("py") - F.col("s")).alias("label_miny"),
+                (F.col("px") + F.col("s")).alias("label_maxx"),
+                (F.col("py") + F.col("s")).alias("label_maxy"),
+                _star_wkb("px", "py", "s").alias("geometry"),
+            )
+        )
+        out = knn.knn_assign(
+            labels, _tiles_grid(spark), cell_size=100.0, k=1, rings=2,
+            escalate=True, max_rings=64,
+        )
+        return out.select(
+            "label_id", "tile_id", F.round("knn_distance", 6).alias("knn_distance")
+        )
+
     def q_minhash_lsh(spark, sf_dir):
         # portable=True: md5-based shingle hashing reproducible in the
         # DuckDB oracle (same banding/join/verify plan as the fast path)
@@ -873,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spatial_join_exact": q_spatial_join_exact,
         "q_spatial_join_star": q_spatial_join_star,
         "q_knn_star": q_knn_star,
+        "q_knn_escalate": q_knn_escalate,
         "q_knn_fallback": q_knn_fallback,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
@@ -1266,11 +1333,62 @@ def _knn_star_oracle_sql() -> str:
     (label, tile) pair; the even-odd corner test counts each edge once
     (c = 0 rows only)."""
     return f"""
-WITH tiles AS ({_TILES_SQL}),
+WITH {_star_scored_sql(_PX, _PY)},
+ranked AS (
+  SELECT label_id, tile_id, round(dist_raw, 6) AS dist,
+         row_number() OVER (PARTITION BY label_id
+                            ORDER BY round(dist_raw, 6) ASC, tile_id ASC) AS rn
+  FROM scored)
+SELECT label_id, tile_id, dist FROM ranked WHERE rn = 1
+"""
+
+
+def _knn_escalate_oracle_sql() -> str:
+    """The ring-escalation walk (knn.knn_assign(escalate=True),
+    operators/knn.py:76) in closed form: a label is assigned at the
+    SMALLEST doubling ring level (2, 4, ..., max_rings=64) whose
+    Chebyshev cell neighborhood of its centroid cell (cell_size=100,
+    cells.centroid_cell) reaches a tile cover cell (the tile bbox's 2x2
+    cell block, cells.with_cell_cover); within that level, candidates
+    rank by the exact UNROUNDED polygon-to-box distance with
+    (distance, tile_id) ties — exactly the loop's per-pass semantics,
+    since each pass runs only on the labels every smaller level left
+    unassigned. min(cheb) > 64 (past max_rings) produces no row, like
+    the loop's bounded exit."""
+    return f"""
+WITH {_star_scored_sql(_EPX, _EPY)},
+lvl AS (
+  SELECT label_id,
+         CASE WHEN min(cheb) <= 2 THEN 2 WHEN min(cheb) <= 4 THEN 4
+              WHEN min(cheb) <= 8 THEN 8 WHEN min(cheb) <= 16 THEN 16
+              WHEN min(cheb) <= 32 THEN 32 WHEN min(cheb) <= 64 THEN 64
+         END AS lvl
+  FROM scored GROUP BY label_id),
+cand AS (
+  SELECT s.label_id, s.tile_id, s.dist_raw
+  FROM scored s JOIN lvl v ON s.label_id = v.label_id AND s.cheb <= v.lvl),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label_id
+                               ORDER BY dist_raw ASC, tile_id ASC) AS rn
+  FROM cand)
+SELECT label_id, tile_id, round(dist_raw, 6) AS knn_distance
+FROM ranked WHERE rn = 1
+"""
+
+
+def _star_scored_sql(px_expr: str, py_expr: str) -> str:
+    """Shared WITH-body (tiles ... scored): for every (star label, tile)
+    pair, the exact polygon-to-box distance ``dist_raw`` (0.0 when
+    intersecting — the literal port of predicates.polygon_box_distance
+    proven bit-exact by q_knn_star) plus ``cheb``, the Chebyshev cell
+    distance between the tile's 2x2 cell-cover block and the label's
+    centroid cell at cell_size=100 (the candidate-neighborhood metric of
+    knn.knn_assign)."""
+    return f"""tiles AS ({_TILES_SQL}),
 stars AS (
   SELECT c_custkey AS label_id,
-         CAST({_PX} AS DOUBLE) AS px,
-         CAST({_PY} AS DOUBLE) AS py,
+         CAST({px_expr} AS DOUBLE) AS px,
+         CAST({py_expr} AS DOUBLE) AS py,
          CAST({_S} AS DOUBLE) AS s
   FROM customer),
 pairs AS (
@@ -1279,7 +1397,12 @@ pairs AS (
          st.px, st.py, st.s,
          (t.tile_minx <= st.px + st.s AND t.tile_maxx >= st.px - st.s
           AND t.tile_miny <= st.py + st.s AND t.tile_maxy >= st.py - st.s)
-           AS bbox_ok
+           AS bbox_ok,
+         greatest(0,
+                  t.ti - CAST(floor(st.px / 100.0) AS BIGINT),
+                  CAST(floor(st.px / 100.0) AS BIGINT) - (t.ti + 1),
+                  -(t.tj + 1) - CAST(floor(st.py / 100.0) AS BIGINT),
+                  CAST(floor(st.py / 100.0) AS BIGINT) + t.tj) AS cheb
   FROM tiles t CROSS JOIN stars st),
 edges AS (
   SELECT p.*, e.k, c.c,
@@ -1330,19 +1453,14 @@ agg AS (
     bool_or(k = 0 AND tile_minx <= x0 AND x0 <= tile_maxx
             AND tile_miny <= y0 AND y0 <= tile_maxy) AS v0_in,
     bool_or(bbox_ok) AS bbox_ok,
+    min(cheb) AS cheb,
     least(min(vd2), min(ed2)) AS d2
   FROM dists GROUP BY tile_id, label_id),
 scored AS (
-  SELECT label_id, tile_id,
+  SELECT label_id, tile_id, cheb,
     CASE WHEN bbox_ok AND (edge_hit OR corner_in OR v0_in)
-         THEN 0.0 ELSE round(sqrt(d2), 6) END AS dist
-  FROM agg),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY label_id
-                               ORDER BY dist ASC, tile_id ASC) AS rn
-  FROM scored)
-SELECT label_id, tile_id, dist FROM ranked WHERE rn = 1
-"""
+         THEN 0.0 ELSE sqrt(d2) END AS dist_raw
+  FROM agg)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1696,4 +1814,5 @@ FROM anns
         "q_coco_rle": _coco_rle_oracle_sql(),
         "q_spatial_join_star": _spatial_join_star_oracle_sql(),
         "q_knn_star": _knn_star_oracle_sql(),
+        "q_knn_escalate": _knn_escalate_oracle_sql(),
     }

@@ -181,6 +181,27 @@ class TestKnn:
         again = knn.knn_assign(labels, tiles, cell_size=10.0, k=1, rings=1).collect()
         assert got[0].tile_id == again[0].tile_id
 
+    def test_knn_escalation(self, spark):
+        # escalate=True (the pipeline's fallback shape): a near label
+        # resolves in the first rings=2 pass, a label 7 cells off-grid
+        # only at the doubled level 8, and a label 97 cells out exceeds
+        # max_rings=64 and is dropped
+        labels = make_labels(
+            spark, [(35.0, -10.0), (100.0, -10.0), (1000.0, -10.0)], [1.0, 1.0, 1.0]
+        )
+        tiles = make_tiles(spark, 3, 10.0)  # tiles cover x:[0,30]
+        got = {
+            r.label_id: r
+            for r in knn.knn_assign(
+                labels, tiles, cell_size=10.0, k=1, rings=2, escalate=True, max_rings=64
+            ).collect()
+        }
+        assert got[0].tile_maxx == 30.0
+        assert got[0].knn_distance == pytest.approx(4.0)
+        assert 1 in got and got[1].tile_maxx == 30.0
+        assert got[1].knn_distance == pytest.approx(69.0, abs=0.2)
+        assert 2 not in got
+
     def test_knn_k2(self, spark):
         labels = make_labels(spark, [(5.0, -5.0)], [1.0])
         tiles = make_tiles(spark, 3, 10.0)
