@@ -419,7 +419,9 @@ def embedding_near_duplicates(
     auto-broadcast threshold is far below what any real executor
     carries — 200k vectors ~ 120 MB is still a trivially safe
     broadcast, while a 10^9-vector corpus correctly falls back to the
-    shuffle join. Set 0 to disable (skips the count job).
+    shuffle join. Set 0 to disable the broadcast regime (the single
+    metadata count job still runs — it sizes the shuffle-hash build
+    partitions).
 
     Scale shape (VERDICT r01 #6): the banded self-join carries *ids only*
     — (vid, t, b) rows — and embeddings re-attach to the (small)
@@ -455,7 +457,8 @@ def embedding_near_duplicates(
     qb_side = qbase.select(
         F.col("vid").alias("id_b"), F.col("qv").alias("qb"), F.col("nv").alias("nb")
     )
-    small_corpus = bool(broadcast_vectors_rows) and vectors.count() <= broadcast_vectors_rows
+    n_vec = vectors.count()
+    small_corpus = bool(broadcast_vectors_rows) and n_vec <= broadcast_vectors_rows
     if small_corpus:
         qa_side, qb_side = F.broadcast(qa_side), F.broadcast(qb_side)
     else:
@@ -465,11 +468,30 @@ def embedding_near_duplicates(
         # campaign: verify ~50 s at local[8] -> ~89 s at local[32],
         # spill-bound). A shuffle-hash join hash-exchanges both sides
         # but builds only the (corpus-sized) qv side per partition —
-        # no candidate-side sort at any scale, ~17 MB build per
-        # partition at 1M vectors / 32 partitions. Same rows, same
-        # values; join strategy only.
-        qa_side = qa_side.hint("SHUFFLE_HASH")
-        qb_side = qb_side.hint("SHUFFLE_HASH")
+        # no candidate-side sort at any scale. Same rows, same values;
+        # join strategy only.
+        #
+        # Build-side partition sizing (round 5, found at 4.1M vectors):
+        # SHUFFLE_HASH builds one in-memory hash map PER PARTITION of
+        # the corpus side, so at the session's shuffle_partitions the
+        # build can outgrow a task's execution-memory share and the
+        # join fails outright ("Can't acquire ... bytes to build hash
+        # relation" at 4.1M vectors x 8 partitions on an 8g heap).
+        # Size the exchange so each build partition holds <= ~48 MB of
+        # quantized vectors (dim longs + row overhead) — explicit
+        # repartition on the join keys with a matching count on BOTH
+        # sides co-partitions the join with no extra exchange, and the
+        # user-specified count is exempt from AQE coalescing.
+        import math
+
+        build_bytes = n_vec * (dim * 8 + 96)
+        n_part = max(
+            int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            math.ceil(build_bytes / (48 << 20)),
+        )
+        qa_side = qa_side.repartition(n_part, "id_a").hint("SHUFFLE_HASH")
+        qb_side = qb_side.repartition(n_part, "id_b").hint("SHUFFLE_HASH")
+        cand_ids = cand_ids.repartition(n_part, "id_a")
     cand = cand_ids.join(qa_side, "id_a").join(qb_side, "id_b")
     # dot-product strategy by corpus regime (both int64-exact, so the
     # rounded cosine — division + HALF_UP stay JVM-side — is
