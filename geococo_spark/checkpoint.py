@@ -40,9 +40,23 @@ class EngineMetrics:
         "kernel_ms",  # wall ms spent inside the tile kernel (all workers)
     ]
 
-    def __init__(self, spark: SparkSession):
+    # opt-in within-kernel phase split (round 5): registered only when
+    # phases=True (profiling) — the kernel bumps them solely when the
+    # keys exist, so production runs pay nothing
+    PHASE_NAMES = [
+        # microseconds: per-tile phases are sub-ms, so a per-call int(ms)
+        # truncation would floor them to zero
+        "kernel_decode_us",  # image bytes -> ndarray (incl. cache hits)
+        "kernel_raster_us",  # per-label patch rasterization
+        "kernel_tile_us",  # window slice + pad + normalize + encode
+        "kernel_ann_us",  # per-annotation mask/RLE/bbox loop
+        "kernel_sink_us",  # in-stage tile parquet sink write
+    ]
+
+    def __init__(self, spark: SparkSession, phases: bool = False):
         sc = spark.sparkContext
-        self.acc = {n: sc.accumulator(0) for n in self.NAMES}
+        names = self.NAMES + (self.PHASE_NAMES if phases else [])
+        self.acc = {n: sc.accumulator(0) for n in names}
 
     def add(self, name: str, value: int) -> None:
         self.acc[name].add(int(value))

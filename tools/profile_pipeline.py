@@ -49,7 +49,12 @@ def main() -> None:
         import shutil, tempfile
 
         timings: dict = {}
-        m = EngineMetrics(spark)
+        # SPARK_GRAFT_PROFILE_KERNEL_PHASES=1: register the within-kernel
+        # phase accumulators (decode/raster/tile/ann/sink core-seconds)
+        m = EngineMetrics(
+            spark,
+            phases=os.environ.get("SPARK_GRAFT_PROFILE_KERNEL_PHASES", "0") == "1",
+        )
         state = CocoState.create(spark)
         sink = tempfile.mkdtemp(prefix="geococo_profsink_") if sink_mode else None
         t0 = time.perf_counter()
@@ -67,16 +72,20 @@ def main() -> None:
         timings["total"] = round(time.perf_counter() - t0, 3)
         if sink is not None:
             shutil.rmtree(sink, ignore_errors=True)
-        return timings, anns, m.snapshot()["kernel_ms"] / 1000.0
+        return timings, anns, m.snapshot()
 
     run(2)  # warmup
     best = None
     for _ in range(2):
-        timings, anns, kcs = run(n_images)
+        timings, anns, snap = run(n_images)
         if best is None or timings["total"] < best["total"]:
-            best, best_k = timings, kcs
+            best, best_snap = timings, snap
     best.update(cores=cores, shuffle=shuffle, arrow=arrow, n_images=n_images,
-                kernel_core_s=round(best_k, 1), annotations=anns)
+                kernel_core_s=round(best_snap["kernel_ms"] / 1000.0, 1),
+                annotations=anns)
+    for name, v in best_snap.items():
+        if name.endswith("_us"):
+            best[name.replace("_us", "_core_s")] = round(v / 1e6, 1)
     print(json.dumps(best))
 
 
