@@ -266,6 +266,159 @@ def rasterize_all_touched(
     return mask
 
 
+def rasterize_all_touched_many(
+    rings_px_per_label: list[list[np.ndarray]],
+    out_shapes: list[tuple[int, int]],
+) -> list[np.ndarray]:
+    """Batched :func:`rasterize_all_touched` over many small labels —
+    pixel-identical (property-pinned), one numpy pass for all labels.
+
+    Motivation (round-5 within-kernel phase profile): rasterization is
+    79% of tile-kernel core-seconds, and the per-label call is FIXED
+    numpy overhead, not arithmetic — 223 us for 32 edges on a 14x14
+    patch (~40 tiny-array numpy calls), where the same work batched
+    across an image's ~10^2-10^3 labels pays that overhead once. Takes
+    *pixel-space* rings (the caller converts with each label's own
+    patch transform, keeping every float op bit-identical to the
+    single-label path) and each label's (rows, cols) patch shape.
+
+    Fill crossings are generated per edge over a widened candidate row
+    window and then filtered by the EXACT dense-path predicate
+    ``(y0 > py) != (y1 > py)`` — the crossing set, xint values, sort
+    order and span arithmetic are therefore bit-identical to
+    :func:`_scanline_fill`; the supercover is :func:`_supercover_mark_all`
+    with per-edge grid bounds. All masks live in one flat buffer;
+    returned arrays are per-label views.
+    """
+    n = len(rings_px_per_label)
+    nrows_l = np.empty(n, dtype=np.int64)
+    ncols_l = np.empty(n, dtype=np.int64)
+    minr_l = np.zeros(n, dtype=np.int64)
+    maxr_l = np.zeros(n, dtype=np.int64)
+    ex0, ey0, ex1, ey1, elab = [], [], [], [], []
+    for i, (rings_px, (nr, nc)) in enumerate(zip(rings_px_per_label, out_shapes)):
+        nrows_l[i], ncols_l[i] = nr, nc
+        if not rings_px:
+            continue
+        allpts = np.vstack(rings_px)
+        minc = max(int(np.floor(allpts[:, 0].min())), 0)
+        maxc = min(int(np.ceil(allpts[:, 0].max())), nc - 1)
+        minr = max(int(np.floor(allpts[:, 1].min())), 0)
+        maxr = min(int(np.ceil(allpts[:, 1].max())), nr - 1)
+        if minc > maxc or minr > maxr:
+            continue  # same early-out as the single-label path
+        minr_l[i], maxr_l[i] = minr, maxr
+        e0 = np.concatenate([r[:-1] for r in rings_px])
+        e1 = np.concatenate([r[1:] for r in rings_px])
+        ex0.append(e0[:, 0])
+        ey0.append(e0[:, 1])
+        ex1.append(e1[:, 0])
+        ey1.append(e1[:, 1])
+        elab.append(np.full(len(e0), i, dtype=np.int64))
+    sizes = nrows_l * ncols_l
+    moff = np.concatenate([[0], np.cumsum(sizes)])
+    buf = np.zeros(int(moff[-1]), dtype=bool)
+    masks = [
+        buf[moff[i] : moff[i + 1]].reshape(int(nrows_l[i]), int(ncols_l[i]))
+        for i in range(n)
+    ]
+    if not elab:
+        return masks
+    x0 = np.concatenate(ex0)
+    y0 = np.concatenate(ey0)
+    x1 = np.concatenate(ex1)
+    y1 = np.concatenate(ey1)
+    lab = np.concatenate(elab)
+
+    # ---- interior fill (batched _scanline_fill) ----
+    ymin = np.minimum(y0, y1)
+    ymax = np.maximum(y0, y1)
+    with np.errstate(invalid="ignore"):
+        rstart = np.maximum(np.floor(ymin) - 1, minr_l[lab].astype(np.float64))
+        rend = np.minimum(np.ceil(ymax) + 1, maxr_l[lab].astype(np.float64))
+    counts = np.maximum(rend - rstart + 1, 0).astype(np.int64)
+    eidx, rows = _expand_ranges(rstart.astype(np.int64), counts)
+    if eidx.size:
+        py = rows + 0.5
+        cond = (y0[eidx] > py) != (y1[eidx] > py)  # the dense path's test
+        eidx, rows, py = eidx[cond], rows[cond], py[cond]
+    if eidx.size:
+        cy0 = y0[eidx]
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            xs = x0[eidx] + (py - cy0) * (x1[eidx] - x0[eidx]) / (y1[eidx] - cy0)
+        slab = lab[eidx]
+        rowoff = np.concatenate([[0], np.cumsum(maxr_l - minr_l + 1)])
+        gkey = rowoff[slab] + (rows - minr_l[slab])
+        order = np.lexsort((xs, gkey))
+        gkey, xs, rows, slab = gkey[order], xs[order], rows[order], slab[order]
+        gidx = np.arange(len(gkey))
+        row_change = np.empty(len(gkey), dtype=bool)
+        row_change[0] = True
+        row_change[1:] = gkey[1:] != gkey[:-1]
+        row_start = np.maximum.accumulate(np.where(row_change, gidx, 0))
+        is_start = ((gidx - row_start) % 2) == 0
+        xstart = xs[is_start]
+        xend = xs[~is_start]
+        rr = rows[is_start]
+        rlab = slab[is_start]
+        c0 = np.maximum(np.ceil(xstart - 0.5).astype(np.int64), 0)
+        c1 = np.minimum(np.ceil(xend - 0.5).astype(np.int64) - 1, ncols_l[rlab] - 1)
+        scounts = np.maximum(c1 - c0 + 1, 0)
+        sidx, cols = _expand_ranges(c0, scounts)
+        if sidx.size:
+            buf[moff[rlab[sidx]] + rr[sidx] * ncols_l[rlab[sidx]] + cols] = True
+
+    # ---- boundary supercover (batched _supercover_mark_all) ----
+    nrowsE = nrows_l[lab]
+    ylo = np.minimum(y0, y1)
+    yhi = np.maximum(y0, y1)
+    horiz_grid = (ylo == yhi) & (ylo == np.floor(ylo))
+    r_lo = np.floor(ylo).astype(np.int64)
+    r_hi = np.floor(yhi).astype(np.int64)
+    r_hi = np.where((yhi == r_hi) & (r_hi > r_lo), r_hi - 1, r_hi)
+    starts = np.where(horiz_grid, r_lo - 1, np.maximum(r_lo, 0))
+    ends = np.where(horiz_grid, r_lo, np.minimum(r_hi, nrowsE - 1))
+    counts = np.maximum(ends - starts + 1, 0)
+    eidx, rows = _expand_ranges(starts, counts)
+    inr = (rows >= 0) & (rows < nrowsE[eidx])
+    eidx, rows = eidx[inr], rows[inr]
+    if eidx.size == 0:
+        return masks
+    sx0, sy0 = x0[eidx], y0[eidx]
+    sx1 = x1[eidx]
+    dx = (x1 - x0)[eidx]
+    dy = (y1 - y0)[eidx]
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        t0 = (rows - sy0) / dy
+        t1 = (rows + 1 - sy0) / dy
+    tlo = np.maximum(np.minimum(t0, t1), 0.0)
+    thi = np.minimum(np.maximum(t0, t1), 1.0)
+    flat_dy = dy == 0
+    keep = flat_dy | (thi >= tlo)
+    xa = np.where(flat_dy, sx0, sx0 + tlo * dx)
+    xb = np.where(flat_dy, sx1, sx0 + thi * dx)
+    rows, xa, xb = rows[keep], xa[keep], xb[keep]
+    slab = lab[eidx[keep]]
+    if rows.size == 0:
+        return masks
+    ncolsE = ncols_l[slab]
+    clo = np.minimum(xa, xb)
+    chi = np.maximum(xa, xb)
+    c_lo = np.floor(clo).astype(np.int64)
+    c_hi = np.floor(chi).astype(np.int64)
+    c_hi = np.where((chi == c_hi) & (c_hi > c_lo), c_hi - 1, c_hi)
+    vert_grid = (clo == chi) & (clo == np.floor(clo))
+    cstarts = np.where(vert_grid, c_lo - 1, np.maximum(c_lo, 0))
+    cends = np.where(vert_grid, c_lo, np.minimum(c_hi, ncolsE - 1))
+    ccounts = np.maximum(cends - cstarts + 1, 0)
+    ridx, cols = _expand_ranges(cstarts, ccounts)
+    inc = (cols >= 0) & (cols < ncolsE[ridx])
+    ridx, cols = ridx[inc], cols[inc]
+    if ridx.size:
+        buf[moff[slab[ridx]] + rows[ridx] * ncolsE[ridx] + cols] = True
+    return masks
+
+
 def bounding_rect(mask: np.ndarray) -> list[int]:
     """[x, y, w, h] of the True region — cv2.boundingRect equivalent
     (reference geococo/coco_processing.py:171). Zeros if mask is empty."""

@@ -174,11 +174,25 @@ def run_tile_kernel(
         if acc is not None and name in acc:
             acc[name].add(int(v))
 
+    # opt-in phase timing (EngineMetrics(phases=True)): 2-3 perf_counter
+    # calls per tile group — nothing per annotation, nothing unless the
+    # phase accumulators were registered
+    import time as _ptime
+
+    want_phases = acc is not None and "kernel_decode_us" in acc
+
+    def phase(name: str, t_start: float, t_end: float) -> None:
+        if want_phases:
+            acc[name].add(int((t_end - t_start) * 1e6))
+
     out: list[dict] = []
     if len(image_pdf) == 0 or len(pairs_pdf) == 0:
         return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
     img = image_pdf.iloc[0]
+    _t0 = _ptime.perf_counter() if want_phases else 0.0
     arr, cache_hit = _decode_cache.get(bytes(img["bytes"]))
+    if want_phases:
+        phase("kernel_decode_us", _t0, _ptime.perf_counter())
     if cache_hit:
         bump("decode_cache_hits", 1)
     else:
@@ -195,7 +209,8 @@ def run_tile_kernel(
     # bbox patch; per tile the patch is just sliced (tile grids are the
     # image grid shifted by integer offsets, so masks are identical).
     geom_mask = pairs_pdf["geometry"].notna()
-    label_geoms: dict[int, tuple[str, np.ndarray, int, int]] = {}
+    _t0 = _ptime.perf_counter() if want_phases else 0.0
+    label_meta: list[tuple[int, str, int, int, tuple, list]] = []
     for li, g in zip(
         pairs_pdf.loc[geom_mask, "label_idx"].values,
         pairs_pdf.loc[geom_mask, "geometry"].values,
@@ -213,11 +228,25 @@ def run_tile_kernel(
         pc1 = int(np.ceil(pcols.max())) + 2
         pr0 = int(np.floor(prows.min())) - 2
         pr1 = int(np.ceil(prows.max())) + 2
+        # conversion uses each label's OWN patch transform — the same
+        # floats rasterize_all_touched would compute — so the batched
+        # burn below is bit-identical to the per-label call
         patch_transform = (a, 0.0, c + a * pc0, 0.0, e, f + e * pr0)
-        patch = rasterize.rasterize_all_touched(
-            rings, patch_transform, (max(pr1 - pr0, 1), max(pc1 - pc0, 1))
+        shape = (max(pr1 - pr0, 1), max(pc1 - pc0, 1))
+        label_meta.append(
+            (int(li), gtype, pr0, pc0, shape, rasterize.world_to_pixel(rings, patch_transform))
         )
-        label_geoms[int(li)] = (gtype, patch, pr0, pc0)
+    # ONE batched burn for all of this image's labels (round 5: the
+    # per-label rasterize call was fixed-overhead-bound — 79% of kernel
+    # core-seconds at 1024 images — see rasterize_all_touched_many)
+    patches = rasterize.rasterize_all_touched_many(
+        [m[5] for m in label_meta], [m[4] for m in label_meta]
+    )
+    label_geoms: dict[int, tuple[str, np.ndarray, int, int]] = {
+        m[0]: (m[1], patch, m[2], m[3]) for m, patch in zip(label_meta, patches)
+    }
+    if want_phases:
+        phase("kernel_raster_us", _t0, _ptime.perf_counter())
     pairs_pdf = pairs_pdf.loc[~geom_mask]
     if len(pairs_pdf) == 0:
         return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
@@ -231,6 +260,7 @@ def run_tile_kernel(
         ["col_off", "row_off", "width", "height"], sort=False
     ):
         col_off, row_off, width, height = int(col_off), int(row_off), int(width), int(height)
+        _t0 = _ptime.perf_counter() if want_phases else 0.0
         # S2/R2: crop — grid starts clamp at 0, so only right/bottom overhang
         window_image = arr[:, row_off : row_off + height, col_off : col_off + width]
         # R3: pad to the reference's (bands, width, height) target shape
@@ -271,6 +301,11 @@ def run_tile_kernel(
                 "iscrowd": None,
             }
         )
+
+        if want_phases:
+            _t1 = _ptime.perf_counter()
+            phase("kernel_tile_us", _t0, _t1)
+            _t0 = _t1
 
         # direct array iteration — iterrows() builds a Series per row,
         # which dominates at thousands of pairs per tile. The tile-sized
@@ -330,7 +365,10 @@ def run_tile_kernel(
                     "iscrowd": 1 if gtype == "MultiPolygon" else 0,  # R7
                 }
             )
+        if want_phases:
+            phase("kernel_ann_us", _t0, _ptime.perf_counter())
     if tile_sink_dir is not None:
+        _t0 = _ptime.perf_counter() if want_phases else 0.0
         band = int(img["band"]) if "band" in image_pdf.columns else 0
         payload = [
             (r["image_key"], r["tile_name"], r["tile_bytes"], r["caption"])
@@ -343,6 +381,8 @@ def run_tile_kernel(
             if r["row_type"] == "tile":
                 r["tile_bytes"] = None
                 r["caption"] = None
+        if want_phases:
+            phase("kernel_sink_us", _t0, _ptime.perf_counter())
     return pd.DataFrame(out, columns=[f.name for f in _kernel_fields()])
 
 

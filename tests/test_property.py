@@ -112,6 +112,18 @@ class TestSupercoverEquivalence:
         rasterize._supercover_mark_all(vector, [ring])
         np.testing.assert_array_equal(vector, scalar)
 
+    def test_batched_flat_edge_denormal_endpoint(self):
+        """The round-5 denormal regression must also hold through the
+        batched path (it reuses the same endpoint-verbatim rule)."""
+        ring = np.array(
+            [[-1.0, 0.0], [1.40129846e-45, 0.0], [0.0, -1.0], [-1.0, 0.0]]
+        )
+        single = rasterize.rasterize_all_touched(
+            [ring], (1.0, 0.0, 0.0, 0.0, 1.0, 0.0), (16, 16)
+        )
+        (batched,) = rasterize.rasterize_all_touched_many([[ring]], [(16, 16)])
+        np.testing.assert_array_equal(batched, single)
+
     def test_flat_edge_denormal_endpoint(self):
         """Round-5 regression (hypothesis find): a flat gridline edge
         whose endpoint is a denormal (x1=1.4e-45) collapsed to a zero
@@ -182,6 +194,37 @@ class TestPredicateProperties:
         assert inside == 0.0
         far = predicates.polygon_box_distance([ring], maxx + 10, maxy + 10, maxx + 11, maxy + 11)
         assert far > 0
+
+
+class TestBatchedRasterizeEquivalence:
+    """rasterize_all_touched_many (the kernel's one-pass-per-image burn)
+    must be PIXEL-IDENTICAL to per-label rasterize_all_touched — over
+    mixed batches of adversarial rings (gridline-exact coords, degenerate
+    spans, out-of-patch labels, empty ring lists, varying patch shapes)."""
+
+    # pixel-space batch vs world-space singles under an e=+1 identity
+    # transform: world_to_pixel is (x - 0)/1 — bit-exact passthrough
+    _ID = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+
+    @NO_DEADLINE
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(pixel_rings(), min_size=0, max_size=2),
+                st.tuples(st.integers(1, 20), st.integers(1, 20)),
+            ),
+            min_size=0,
+            max_size=6,
+        )
+    )
+    def test_batched_matches_single(self, labels):
+        rings_lists = [list(rings) for rings, _ in labels]
+        shapes = [shape for _, shape in labels]
+        got = rasterize.rasterize_all_touched_many(rings_lists, shapes)
+        assert len(got) == len(labels)
+        for (rings, shape), batched in zip(labels, got):
+            single = rasterize.rasterize_all_touched(list(rings), self._ID, shape)
+            np.testing.assert_array_equal(batched, single)
 
 
 IDENTITY = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
