@@ -226,6 +226,36 @@ class TestBatchedRasterizeEquivalence:
             single = rasterize.rasterize_all_touched(list(rings), self._ID, shape)
             np.testing.assert_array_equal(batched, single)
 
+    @NO_DEADLINE
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(-1e6, 1e6),
+                st.floats(-1e6, 1e6),
+                st.floats(-1e6, 1e6),
+                st.floats(-1e6, 1e6),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_batched_matches_single_far_coords(self, quads):
+        """Labels far outside the patch (the fill's widened row window
+        casts huge floats to int64 only for zero-count ranges — pin that
+        the results still match the per-label path)."""
+        labels = []
+        for x0, y0, x1, y1 in quads:
+            ring = np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y0]], dtype=np.float64
+            )
+            labels.append(([ring], (12, 12)))
+        got = rasterize.rasterize_all_touched_many(
+            [r for r, _ in labels], [s for _, s in labels]
+        )
+        for (rings, shape), batched in zip(labels, got):
+            single = rasterize.rasterize_all_touched(rings, self._ID, shape)
+            np.testing.assert_array_equal(batched, single)
+
 
 IDENTITY = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
 
