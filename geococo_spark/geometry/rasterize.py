@@ -176,8 +176,9 @@ def _supercover_mark_all(mask: np.ndarray, rings_px: list[np.ndarray]) -> None:
     ylo = np.minimum(y0, y1)
     yhi = np.maximum(y0, y1)
     horiz_grid = (ylo == yhi) & (ylo == np.floor(ylo))
-    r_lo = np.floor(ylo).astype(np.int64)
-    r_hi = np.floor(yhi).astype(np.int64)
+    with np.errstate(invalid="ignore"):
+        r_lo = np.floor(ylo).astype(np.int64)
+        r_hi = np.floor(yhi).astype(np.int64)
     r_hi = np.where((yhi == r_hi) & (r_hi > r_lo), r_hi - 1, r_hi)
     # row range per edge: horizontal-on-gridline edges touch the two
     # adjacent rows (unclamped here; clipped after expansion like the
@@ -214,8 +215,9 @@ def _supercover_mark_all(mask: np.ndarray, rings_px: list[np.ndarray]) -> None:
 
     clo = np.minimum(xa, xb)
     chi = np.maximum(xa, xb)
-    c_lo = np.floor(clo).astype(np.int64)
-    c_hi = np.floor(chi).astype(np.int64)
+    with np.errstate(invalid="ignore"):
+        c_lo = np.floor(clo).astype(np.int64)
+        c_hi = np.floor(chi).astype(np.int64)
     c_hi = np.where((chi == c_hi) & (c_hi > c_lo), c_hi - 1, c_hi)
     vert_grid = (clo == chi) & (clo == np.floor(clo))
     cstarts = np.where(vert_grid, c_lo - 1, np.maximum(c_lo, 0))
@@ -315,6 +317,117 @@ def rasterize_all_touched_many(
         ex1.append(e1[:, 0])
         ey1.append(e1[:, 1])
         elab.append(np.full(len(e0), i, dtype=np.int64))
+    if elab:
+        x0 = np.concatenate(ex0)
+        y0 = np.concatenate(ey0)
+        x1 = np.concatenate(ex1)
+        y1 = np.concatenate(ey1)
+        lab = np.concatenate(elab)
+    else:
+        x0 = y0 = x1 = y1 = np.empty(0, dtype=np.float64)
+        lab = np.empty(0, dtype=np.int64)
+    return _burn_label_edges(x0, y0, x1, y1, lab, nrows_l, ncols_l, minr_l, maxr_l)
+
+
+def rasterize_all_touched_flat(
+    px: np.ndarray,
+    py: np.ndarray,
+    ring_starts: np.ndarray,
+    label_ring_starts: np.ndarray,
+    nrows_l: np.ndarray,
+    ncols_l: np.ndarray,
+) -> list[np.ndarray]:
+    """Fully-vectorized :func:`rasterize_all_touched_many` over the CSR
+    layout of :func:`geococo_spark.geometry.wkb.decode_batch` — no
+    per-label Python at all (the ``_many`` per-label assembly loop —
+    vstack + bounds + edge concat — was the residual ~40 us/label after
+    round 5 batched the burn itself).
+
+    ``px``/``py`` are every vertex's continuous pixel coordinates in
+    label-major, ring-major, point-major order; ``ring_starts`` (R+1) /
+    ``label_ring_starts`` (L+1) are the CSR offsets; ``nrows_l`` /
+    ``ncols_l`` each label's patch shape. Pixel-identical to ``_many``
+    (property-pinned): per-label bounds via segmented reduceat are the
+    same float min/max; the bbox early-out is applied in *clamped float*
+    space (so far-out-of-patch labels never hit an int64 cast, same
+    guarantee as ``_many``'s Python-int path); edge order is ascending
+    point order = ``_many``'s concatenation order, so the stable fill
+    lexsort sees identical sequences. A label with an empty ring list
+    yields an all-zero mask (``_many``'s ``if not rings_px`` skip).
+    """
+    nrows_l = np.ascontiguousarray(nrows_l, dtype=np.int64)
+    ncols_l = np.ascontiguousarray(ncols_l, dtype=np.int64)
+    n = len(nrows_l)
+    minr_l = np.zeros(n, dtype=np.int64)
+    maxr_l = np.zeros(n, dtype=np.int64)
+    empty_edges = (
+        np.empty(0, dtype=np.float64),
+        np.empty(0, dtype=np.float64),
+        np.empty(0, dtype=np.float64),
+        np.empty(0, dtype=np.float64),
+        np.empty(0, dtype=np.int64),
+    )
+    total_pts = int(ring_starts[-1]) if len(ring_starts) else 0
+    if n == 0 or total_pts == 0:
+        return _burn_label_edges(*empty_edges, nrows_l, ncols_l, minr_l, maxr_l)
+    lab_pt_start = ring_starts[label_ring_starts]  # (L+1,) point offsets per label
+    pt_counts = np.diff(lab_pt_start)
+    nz = pt_counts > 0
+    # segmented per-label bounds: empty labels contribute no points, so
+    # reduceat over the non-empty starts covers exactly each label's span
+    starts_nz = lab_pt_start[:-1][nz]
+    cmin = np.full(n, np.inf)
+    cmax = np.full(n, -np.inf)
+    rmin = np.full(n, np.inf)
+    rmax = np.full(n, -np.inf)
+    if starts_nz.size:
+        cmin[nz] = np.minimum.reduceat(px, starts_nz)
+        cmax[nz] = np.maximum.reduceat(px, starts_nz)
+        rmin[nz] = np.minimum.reduceat(py, starts_nz)
+        rmax[nz] = np.maximum.reduceat(py, starts_nz)
+    # clamped-float bbox early-out (exactly _many's minc>maxc test; the
+    # clamp bounds every surviving value into [0, shape-1] so the int64
+    # cast below is always safe, even for 1e300-scale coords)
+    minc_f = np.maximum(np.floor(cmin), 0.0)
+    maxc_f = np.minimum(np.ceil(cmax), ncols_l - 1.0)
+    minr_f = np.maximum(np.floor(rmin), 0.0)
+    maxr_f = np.minimum(np.ceil(rmax), nrows_l - 1.0)
+    valid = nz & (minc_f <= maxc_f) & (minr_f <= maxr_f)
+    minr_l[valid] = minr_f[valid].astype(np.int64)
+    maxr_l[valid] = maxr_f[valid].astype(np.int64)
+    # edges: every point except each ring's last starts one edge to the
+    # next point — ascending index order IS _many's concatenation order
+    ring_npts = np.diff(ring_starts)
+    keep = np.ones(total_pts, dtype=bool)
+    keep[ring_starts[1:][ring_npts > 0] - 1] = False
+    kidx = np.nonzero(keep)[0]
+    pt_lab = np.repeat(np.arange(n, dtype=np.int64), pt_counts)
+    elab = pt_lab[kidx]
+    emask = valid[elab]
+    kidx = kidx[emask]
+    if kidx.size == 0:
+        return _burn_label_edges(*empty_edges, nrows_l, ncols_l, minr_l, maxr_l)
+    return _burn_label_edges(
+        px[kidx], py[kidx], px[kidx + 1], py[kidx + 1], elab[emask],
+        nrows_l, ncols_l, minr_l, maxr_l,
+    )
+
+
+def _burn_label_edges(
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    lab: np.ndarray,
+    nrows_l: np.ndarray,
+    ncols_l: np.ndarray,
+    minr_l: np.ndarray,
+    maxr_l: np.ndarray,
+) -> list[np.ndarray]:
+    """Shared batched burn: scanline fill + boundary supercover for a
+    flat edge list labeled by patch index (the tail of the round-5
+    ``rasterize_all_touched_many``, shared with the CSR flat path)."""
+    n = len(nrows_l)
     sizes = nrows_l * ncols_l
     moff = np.concatenate([[0], np.cumsum(sizes)])
     buf = np.zeros(int(moff[-1]), dtype=bool)
@@ -322,13 +435,8 @@ def rasterize_all_touched_many(
         buf[moff[i] : moff[i + 1]].reshape(int(nrows_l[i]), int(ncols_l[i]))
         for i in range(n)
     ]
-    if not elab:
+    if x0.size == 0:
         return masks
-    x0 = np.concatenate(ex0)
-    y0 = np.concatenate(ey0)
-    x1 = np.concatenate(ex1)
-    y1 = np.concatenate(ey1)
-    lab = np.concatenate(elab)
 
     # ---- interior fill (batched _scanline_fill) ----
     ymin = np.minimum(y0, y1)
@@ -337,7 +445,11 @@ def rasterize_all_touched_many(
         rstart = np.maximum(np.floor(ymin) - 1, minr_l[lab].astype(np.float64))
         rend = np.minimum(np.ceil(ymax) + 1, maxr_l[lab].astype(np.float64))
     counts = np.maximum(rend - rstart + 1, 0).astype(np.int64)
-    eidx, rows = _expand_ranges(rstart.astype(np.int64), counts)
+    # int64 casts of out-of-range floats only ever pair with zero counts
+    # (clamped above) or fail the in-range filters below — suppress the
+    # cast warnings; results are pinned by the huge-coords property test
+    with np.errstate(invalid="ignore"):
+        eidx, rows = _expand_ranges(rstart.astype(np.int64), counts)
     if eidx.size:
         py = rows + 0.5
         cond = (y0[eidx] > py) != (y1[eidx] > py)  # the dense path's test
@@ -361,8 +473,9 @@ def rasterize_all_touched_many(
         xend = xs[~is_start]
         rr = rows[is_start]
         rlab = slab[is_start]
-        c0 = np.maximum(np.ceil(xstart - 0.5).astype(np.int64), 0)
-        c1 = np.minimum(np.ceil(xend - 0.5).astype(np.int64) - 1, ncols_l[rlab] - 1)
+        with np.errstate(invalid="ignore"):
+            c0 = np.maximum(np.ceil(xstart - 0.5).astype(np.int64), 0)
+            c1 = np.minimum(np.ceil(xend - 0.5).astype(np.int64) - 1, ncols_l[rlab] - 1)
         scounts = np.maximum(c1 - c0 + 1, 0)
         sidx, cols = _expand_ranges(c0, scounts)
         if sidx.size:
@@ -373,8 +486,9 @@ def rasterize_all_touched_many(
     ylo = np.minimum(y0, y1)
     yhi = np.maximum(y0, y1)
     horiz_grid = (ylo == yhi) & (ylo == np.floor(ylo))
-    r_lo = np.floor(ylo).astype(np.int64)
-    r_hi = np.floor(yhi).astype(np.int64)
+    with np.errstate(invalid="ignore"):
+        r_lo = np.floor(ylo).astype(np.int64)
+        r_hi = np.floor(yhi).astype(np.int64)
     r_hi = np.where((yhi == r_hi) & (r_hi > r_lo), r_hi - 1, r_hi)
     starts = np.where(horiz_grid, r_lo - 1, np.maximum(r_lo, 0))
     ends = np.where(horiz_grid, r_lo, np.minimum(r_hi, nrowsE - 1))
@@ -404,8 +518,9 @@ def rasterize_all_touched_many(
     ncolsE = ncols_l[slab]
     clo = np.minimum(xa, xb)
     chi = np.maximum(xa, xb)
-    c_lo = np.floor(clo).astype(np.int64)
-    c_hi = np.floor(chi).astype(np.int64)
+    with np.errstate(invalid="ignore"):
+        c_lo = np.floor(clo).astype(np.int64)
+        c_hi = np.floor(chi).astype(np.int64)
     c_hi = np.where((chi == c_hi) & (c_hi > c_lo), c_hi - 1, c_hi)
     vert_grid = (clo == chi) & (clo == np.floor(clo))
     cstarts = np.where(vert_grid, c_lo - 1, np.maximum(c_lo, 0))

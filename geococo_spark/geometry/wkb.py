@@ -95,6 +95,96 @@ def decode(wkb: bytes):
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
 
+def decode_batch(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """CSR-batched polygonal decode of MANY WKB buffers in one pass.
+
+    The kernel's per-label ``decode_rings`` loop was the residual
+    Python-per-label cost of the raster path (~40 us/label — round-5
+    within-kernel phase profile). Here the variable-length structure walk
+    stays a (cheap, integer-only) per-geometry loop, but every
+    coordinate of every ring of every geometry lands via ONE vectorized
+    byte-gather + ``view('<f8')`` — the same little-endian reinterpret as
+    :func:`_read_ring`'s ``np.frombuffer``, so values are bit-identical.
+
+    Returns ``(pts, ring_starts, label_ring_starts, gtypes)``:
+
+    - ``pts`` — ``(N, 2)`` float64, every vertex in geometry order then
+      ring order then point order (MultiPolygon children flattened, the
+      :func:`decode_rings` order),
+    - ``ring_starts`` — int64 ``(R+1,)`` point offsets per ring (CSR),
+    - ``label_ring_starts`` — int64 ``(L+1,)`` ring offsets per input
+      geometry (CSR),
+    - ``gtypes`` — uint32 ``(L,)`` raw WKB type codes (3=Polygon,
+      6=MultiPolygon).
+
+    Raises on big-endian, Point, or non-Polygon MultiPolygon children —
+    the same contract as :func:`decode_rings`.
+    """
+    n_geoms = len(wkbs)
+    gtypes = np.empty(n_geoms, dtype=np.uint32)
+    label_ring_counts = np.empty(n_geoms, dtype=np.int64)
+    ring_npts: list[int] = []
+    coord_offs: list[int] = []  # byte offset of each ring's coords in the concat buffer
+    base = 0
+    unpack = struct.unpack_from
+    for i, gb in enumerate(wkbs):
+        if gb[0] != 1:
+            raise ValueError("only little-endian WKB supported")
+        (gtype,) = unpack("<I", gb, 1)
+        gtype &= 0xFF
+        gtypes[i] = gtype
+        off = 5
+        nrings_label = 0
+        if gtype == WKB_POLYGON:
+            (nrings,) = unpack("<I", gb, off)
+            off += 4
+            for _ in range(nrings):
+                (npt,) = unpack("<I", gb, off)
+                off += 4
+                ring_npts.append(npt)
+                coord_offs.append(base + off)
+                off += 16 * npt
+            nrings_label = nrings
+        elif gtype == WKB_MULTIPOLYGON:
+            (npolys,) = unpack("<I", gb, off)
+            off += 4
+            for _ in range(npolys):
+                (ctype,) = unpack("<I", gb, off + 1)
+                if ctype & 0xFF != WKB_POLYGON:
+                    raise ValueError("MultiPolygon child is not a Polygon")
+                off += 5
+                (nrings,) = unpack("<I", gb, off)
+                off += 4
+                for _ in range(nrings):
+                    (npt,) = unpack("<I", gb, off)
+                    off += 4
+                    ring_npts.append(npt)
+                    coord_offs.append(base + off)
+                    off += 16 * npt
+                nrings_label += nrings
+        else:
+            raise ValueError(f"decode_batch: expected polygonal geometry, got type {gtype}")
+        label_ring_counts[i] = nrings_label
+        base += len(gb)
+    npts = np.asarray(ring_npts, dtype=np.int64)
+    ring_starts = np.zeros(len(npts) + 1, dtype=np.int64)
+    np.cumsum(npts, out=ring_starts[1:])
+    label_ring_starts = np.zeros(n_geoms + 1, dtype=np.int64)
+    np.cumsum(label_ring_counts, out=label_ring_starts[1:])
+    if len(npts) == 0 or int(ring_starts[-1]) == 0:
+        return np.empty((0, 2), dtype=np.float64), ring_starts, label_ring_starts, gtypes
+    u8 = np.frombuffer(b"".join(bytes(g) for g in wkbs), dtype=np.uint8)
+    cbytes = npts * 16
+    out_starts = np.zeros(len(npts), dtype=np.int64)
+    np.cumsum(cbytes[:-1], out=out_starts[1:])
+    # flat byte index: output position j in ring k maps to
+    # coord_offs[k] + (j - out_starts[k]) — one gather for every coordinate
+    flat = np.repeat(np.asarray(coord_offs, dtype=np.int64) - out_starts, cbytes)
+    flat += np.arange(int(cbytes.sum()), dtype=np.int64)
+    pts = u8[flat].view("<f8").reshape(-1, 2)
+    return pts, ring_starts, label_ring_starts, gtypes
+
+
 def decode_rings(wkb: bytes) -> list[np.ndarray]:
     """Decode to a flat ring list (MultiPolygon children concatenated).
 

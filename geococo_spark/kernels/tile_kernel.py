@@ -210,40 +210,56 @@ def run_tile_kernel(
     # image grid shifted by integer offsets, so masks are identical).
     geom_mask = pairs_pdf["geometry"].notna()
     _t0 = _ptime.perf_counter() if want_phases else 0.0
-    label_meta: list[tuple[int, str, int, int, tuple, list]] = []
-    for li, g in zip(
-        pairs_pdf.loc[geom_mask, "label_idx"].values,
-        pairs_pdf.loc[geom_mask, "geometry"].values,
-    ):
-        gb = bytes(g)
-        gtype = wkb.geom_type(gb)
-        rings = wkb.decode_rings(gb)
-        allpts = np.vstack(rings)
-        # image-space pixel bbox of the label (+halo for boundary cells).
-        # min/max taken on the *projections*, so either axis sign works
-        # (south-up e > 0 / west-positive a < 0 included — ADVICE r01)
-        pcols = (allpts[:, 0] - c) / a
-        prows = (allpts[:, 1] - f) / e
-        pc0 = int(np.floor(pcols.min())) - 2
-        pc1 = int(np.ceil(pcols.max())) + 2
-        pr0 = int(np.floor(prows.min())) - 2
-        pr1 = int(np.ceil(prows.max())) + 2
-        # conversion uses each label's OWN patch transform — the same
-        # floats rasterize_all_touched would compute — so the batched
-        # burn below is bit-identical to the per-label call
-        patch_transform = (a, 0.0, c + a * pc0, 0.0, e, f + e * pr0)
-        shape = (max(pr1 - pr0, 1), max(pc1 - pc0, 1))
-        label_meta.append(
-            (int(li), gtype, pr0, pc0, shape, rasterize.world_to_pixel(rings, patch_transform))
-        )
-    # ONE batched burn for all of this image's labels (round 5: the
-    # per-label rasterize call was fixed-overhead-bound — 79% of kernel
-    # core-seconds at 1024 images — see rasterize_all_touched_many)
-    patches = rasterize.rasterize_all_touched_many(
-        [m[5] for m in label_meta], [m[4] for m in label_meta]
+    g_lis = pairs_pdf.loc[geom_mask, "label_idx"].values
+    g_wkbs = [bytes(g) for g in pairs_pdf.loc[geom_mask, "geometry"].values]
+    # ONE batched WKB parse + projection + burn for ALL of this image's
+    # labels (round 5 batched the burn — rasterize_all_touched_many;
+    # this removes the last per-label Python, the ~40 us/label
+    # decode_rings/vstack/bounds loop, from the raster path)
+    pts, ring_starts, label_ring_starts, gtypes = wkb.decode_batch(g_wkbs)
+    nlab = len(g_wkbs)
+    lab_pt_start = ring_starts[label_ring_starts]
+    pt_counts = np.diff(lab_pt_start)
+    # image-space pixel projections of every vertex — the same elementwise
+    # (x - c)/a floats as the per-label path, so bounds are bit-identical.
+    # min/max on the *projections*, so either axis sign works
+    # (south-up e > 0 / west-positive a < 0 included — ADVICE r01)
+    pcols = (pts[:, 0] - c) / a
+    prows = (pts[:, 1] - f) / e
+    nz = pt_counts > 0
+    starts_nz = lab_pt_start[:-1][nz]
+    cmin = np.zeros(nlab)
+    cmax = np.zeros(nlab)
+    rmin = np.zeros(nlab)
+    rmax = np.zeros(nlab)
+    if starts_nz.size:
+        cmin[nz] = np.minimum.reduceat(pcols, starts_nz)
+        cmax[nz] = np.maximum.reduceat(pcols, starts_nz)
+        rmin[nz] = np.minimum.reduceat(prows, starts_nz)
+        rmax[nz] = np.maximum.reduceat(prows, starts_nz)
+    # pixel bbox + halo for boundary cells, in integral float64 (exact:
+    # labels passed the spatial join, so magnitudes are image-scale)
+    pc0 = np.floor(cmin) - 2.0
+    pc1 = np.ceil(cmax) + 2.0
+    pr0 = np.floor(rmin) - 2.0
+    pr1 = np.ceil(rmax) + 2.0
+    shape_rows = np.maximum(pr1 - pr0, 1.0).astype(np.int64)
+    shape_cols = np.maximum(pc1 - pc0, 1.0).astype(np.int64)
+    # conversion uses each label's OWN patch transform origin — the same
+    # floats the per-label patch_transform carried, broadcast per point —
+    # so the batched burn is bit-identical to the per-label call
+    cpatch = c + a * pc0
+    fpatch = f + e * pr0
+    px = (pts[:, 0] - np.repeat(cpatch, pt_counts)) / a
+    py = (pts[:, 1] - np.repeat(fpatch, pt_counts)) / e
+    patches = rasterize.rasterize_all_touched_flat(
+        px, py, ring_starts, label_ring_starts, shape_rows, shape_cols
     )
+    pr0_i = pr0.astype(np.int64)
+    pc0_i = pc0.astype(np.int64)
     label_geoms: dict[int, tuple[str, np.ndarray, int, int]] = {
-        m[0]: (m[1], patch, m[2], m[3]) for m, patch in zip(label_meta, patches)
+        int(li): ("MultiPolygon" if gt == 6 else "Polygon", patch, int(r0), int(c0))
+        for li, gt, patch, r0, c0 in zip(g_lis, gtypes, patches, pr0_i, pc0_i)
     }
     if want_phases:
         phase("kernel_raster_us", _t0, _ptime.perf_counter())

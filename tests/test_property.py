@@ -257,6 +257,135 @@ class TestBatchedRasterizeEquivalence:
             np.testing.assert_array_equal(batched, single)
 
 
+def _csr_from_ring_lists(rings_lists):
+    """Build the decode_batch CSR layout from python ring lists."""
+    ring_npts = [len(r) for rl in rings_lists for r in rl]
+    ring_starts = np.concatenate([[0], np.cumsum(ring_npts)]).astype(np.int64)
+    label_ring_starts = np.concatenate(
+        [[0], np.cumsum([len(rl) for rl in rings_lists])]
+    ).astype(np.int64)
+    if ring_starts[-1]:
+        pts = np.concatenate([r for rl in rings_lists for r in rl], axis=0)
+    else:
+        pts = np.empty((0, 2))
+    return pts, ring_starts, label_ring_starts
+
+
+class TestFlatRasterizeEquivalence:
+    """rasterize_all_touched_flat (the kernel's zero-per-label-Python CSR
+    path) must be pixel-identical to rasterize_all_touched_many over the
+    same adversarial batches — incl. empty ring lists, out-of-patch
+    labels, and far coords that would overflow a naive int64 cast."""
+
+    @NO_DEADLINE
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(pixel_rings(), min_size=0, max_size=2),
+                st.tuples(st.integers(1, 20), st.integers(1, 20)),
+            ),
+            min_size=0,
+            max_size=6,
+        )
+    )
+    def test_flat_matches_many(self, labels):
+        rings_lists = [list(rings) for rings, _ in labels]
+        shapes = [shape for _, shape in labels]
+        pts, ring_starts, label_ring_starts = _csr_from_ring_lists(rings_lists)
+        flat = rasterize.rasterize_all_touched_flat(
+            np.ascontiguousarray(pts[:, 0]),
+            np.ascontiguousarray(pts[:, 1]),
+            ring_starts,
+            label_ring_starts,
+            np.array([s[0] for s in shapes], dtype=np.int64),
+            np.array([s[1] for s in shapes], dtype=np.int64),
+        )
+        many = rasterize.rasterize_all_touched_many(rings_lists, shapes)
+        assert len(flat) == len(many)
+        for a, b in zip(flat, many):
+            np.testing.assert_array_equal(a, b)
+
+    @NO_DEADLINE
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(-1e300, 1e300),
+                st.floats(-1e300, 1e300),
+                st.floats(-1e300, 1e300),
+                st.floats(-1e300, 1e300),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_flat_matches_many_huge_coords(self, quads):
+        """1e300-scale labels: the flat path's clamped-float bbox early-out
+        must skip them without ever casting the raw floor to int64."""
+        rings_lists, shapes = [], []
+        for x0, y0, x1, y1 in quads:
+            ring = np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y0]], dtype=np.float64
+            )
+            rings_lists.append([ring])
+            shapes.append((12, 12))
+        pts, ring_starts, label_ring_starts = _csr_from_ring_lists(rings_lists)
+        flat = rasterize.rasterize_all_touched_flat(
+            np.ascontiguousarray(pts[:, 0]),
+            np.ascontiguousarray(pts[:, 1]),
+            ring_starts,
+            label_ring_starts,
+            np.array([s[0] for s in shapes], dtype=np.int64),
+            np.array([s[1] for s in shapes], dtype=np.int64),
+        )
+        many = rasterize.rasterize_all_touched_many(rings_lists, shapes)
+        for a, b in zip(flat, many):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestDecodeBatch:
+    """wkb.decode_batch must reproduce decode_rings' points, ring
+    structure, and geom types over random Polygon/MultiPolygon mixes."""
+
+    @NO_DEADLINE
+    @given(
+        st.lists(
+            st.tuples(
+                st.booleans(),  # multipolygon?
+                st.integers(1, 3),  # rings (or polygons)
+                st.integers(0, 2**31 - 1),
+            ),
+            min_size=0,
+            max_size=10,
+        )
+    )
+    def test_matches_per_label_decode(self, specs):
+        wkbs = []
+        for is_multi, k, seed in specs:
+            rng = np.random.RandomState(seed)
+
+            def mkring():
+                n = rng.randint(3, 8)
+                pts = rng.rand(n, 2) * 100 - 50
+                return np.vstack([pts, pts[:1]])
+
+            if is_multi:
+                wkbs.append(wkb.encode_multipolygon([[mkring()] for _ in range(k)]))
+            else:
+                wkbs.append(wkb.encode_polygon([mkring() for _ in range(k)]))
+        pts, ring_starts, label_ring_starts, gtypes = wkb.decode_batch(wkbs)
+        r = 0
+        for i, gb in enumerate(wkbs):
+            rings = wkb.decode_rings(gb)
+            assert label_ring_starts[i + 1] - label_ring_starts[i] == len(rings)
+            for ring in rings:
+                s, e = ring_starts[r], ring_starts[r + 1]
+                np.testing.assert_array_equal(pts[s:e], ring)
+                r += 1
+            expect = "MultiPolygon" if gtypes[i] == 6 else "Polygon"
+            assert wkb.geom_type(gb) == expect
+        assert r == len(ring_starts) - 1
+
+
 IDENTITY = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
 
 
