@@ -326,7 +326,8 @@ def rasterize_all_touched_many(
     else:
         x0 = y0 = x1 = y1 = np.empty(0, dtype=np.float64)
         lab = np.empty(0, dtype=np.int64)
-    return _burn_label_edges(x0, y0, x1, y1, lab, nrows_l, ncols_l, minr_l, maxr_l)
+    masks, _, _ = _burn_label_edges(x0, y0, x1, y1, lab, nrows_l, ncols_l, minr_l, maxr_l)
+    return masks
 
 
 def rasterize_all_touched_flat(
@@ -336,12 +337,21 @@ def rasterize_all_touched_flat(
     label_ring_starts: np.ndarray,
     nrows_l: np.ndarray,
     ncols_l: np.ndarray,
-) -> list[np.ndarray]:
+    return_pixels: bool = False,
+):
     """Fully-vectorized :func:`rasterize_all_touched_many` over the CSR
     layout of :func:`geococo_spark.geometry.wkb.decode_batch` — no
     per-label Python at all (the ``_many`` per-label assembly loop —
     vstack + bounds + edge concat — was the residual ~40 us/label after
     round 5 batched the burn itself).
+
+    With ``return_pixels=True`` returns
+    ``(masks, pix_lab, pix_row, pix_col)`` where the ``pix_*`` arrays
+    list every SET pixel of every label mask, sorted by
+    ``(label, col, row)`` — i.e. column-major within each label, the
+    order COCO RLE wants — extracted with one ``nonzero`` over the
+    shared mask buffer (the kernel's per-(tile,label) ``nonzero`` calls
+    were half its core-seconds).
 
     ``px``/``py`` are every vertex's continuous pixel coordinates in
     label-major, ring-major, point-major order; ``ring_starts`` (R+1) /
@@ -369,7 +379,8 @@ def rasterize_all_touched_flat(
     )
     total_pts = int(ring_starts[-1]) if len(ring_starts) else 0
     if n == 0 or total_pts == 0:
-        return _burn_label_edges(*empty_edges, nrows_l, ncols_l, minr_l, maxr_l)
+        burned = _burn_label_edges(*empty_edges, nrows_l, ncols_l, minr_l, maxr_l)
+        return _flat_result(burned, ncols_l, return_pixels)
     lab_pt_start = ring_starts[label_ring_starts]  # (L+1,) point offsets per label
     pt_counts = np.diff(lab_pt_start)
     nz = pt_counts > 0
@@ -406,11 +417,30 @@ def rasterize_all_touched_flat(
     emask = valid[elab]
     kidx = kidx[emask]
     if kidx.size == 0:
-        return _burn_label_edges(*empty_edges, nrows_l, ncols_l, minr_l, maxr_l)
-    return _burn_label_edges(
+        burned = _burn_label_edges(*empty_edges, nrows_l, ncols_l, minr_l, maxr_l)
+        return _flat_result(burned, ncols_l, return_pixels)
+    burned = _burn_label_edges(
         px[kidx], py[kidx], px[kidx + 1], py[kidx + 1], elab[emask],
         nrows_l, ncols_l, minr_l, maxr_l,
     )
+    return _flat_result(burned, ncols_l, return_pixels)
+
+
+def _flat_result(burned, ncols_l, return_pixels):
+    masks, buf, moff = burned
+    if not return_pixels:
+        return masks
+    pos = np.nonzero(buf)[0]
+    if pos.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return masks, z, z.copy(), z.copy()
+    lab = np.searchsorted(moff, pos, side="right") - 1
+    rel = pos - moff[lab]
+    ncl = ncols_l[lab]
+    row = rel // ncl
+    col = rel - row * ncl
+    order = np.lexsort((row, col, lab))
+    return masks, lab[order], row[order], col[order]
 
 
 def _burn_label_edges(
@@ -436,7 +466,7 @@ def _burn_label_edges(
         for i in range(n)
     ]
     if x0.size == 0:
-        return masks
+        return masks, buf, moff
 
     # ---- interior fill (batched _scanline_fill) ----
     ymin = np.minimum(y0, y1)
@@ -473,10 +503,20 @@ def _burn_label_edges(
         xend = xs[~is_start]
         rr = rows[is_start]
         rlab = slab[is_start]
+        # clamp in FLOAT, cast after: an int64 cast of a huge crossing
+        # (1e19+-scale xs) is garbage (INT64_MIN on x86) and the old
+        # `c1 - c0 + 1` then WRAPPED to a huge positive count — the
+        # huge-coords property test crashed _expand_ranges. Where the
+        # count is > 0 both bounds are clamped into [0, ncols-1], so
+        # the casts below are always safe
         with np.errstate(invalid="ignore"):
-            c0 = np.maximum(np.ceil(xstart - 0.5).astype(np.int64), 0)
-            c1 = np.minimum(np.ceil(xend - 0.5).astype(np.int64) - 1, ncols_l[rlab] - 1)
-        scounts = np.maximum(c1 - c0 + 1, 0)
+            c0f = np.maximum(np.ceil(xstart - 0.5), 0.0)
+            c1f = np.minimum(
+                np.ceil(xend - 0.5) - 1.0, (ncols_l[rlab] - 1).astype(np.float64)
+            )
+            scf = np.maximum(c1f - c0f + 1.0, 0.0)
+            scounts = np.where(np.isnan(scf), 0.0, scf).astype(np.int64)
+            c0 = c0f.astype(np.int64)  # garbage only where scounts == 0
         sidx, cols = _expand_ranges(c0, scounts)
         if sidx.size:
             buf[moff[rlab[sidx]] + rr[sidx] * ncols_l[rlab[sidx]] + cols] = True
@@ -486,18 +526,25 @@ def _burn_label_edges(
     ylo = np.minimum(y0, y1)
     yhi = np.maximum(y0, y1)
     horiz_grid = (ylo == yhi) & (ylo == np.floor(ylo))
+    # float-domain clamp before any int64 cast (see the fill block's
+    # wrap note): counts are bounded (2 for gridline edges, <= nrows
+    # otherwise); starts cast garbage only for rows the in-range filter
+    # below drops
     with np.errstate(invalid="ignore"):
-        r_lo = np.floor(ylo).astype(np.int64)
-        r_hi = np.floor(yhi).astype(np.int64)
-    r_hi = np.where((yhi == r_hi) & (r_hi > r_lo), r_hi - 1, r_hi)
-    starts = np.where(horiz_grid, r_lo - 1, np.maximum(r_lo, 0))
-    ends = np.where(horiz_grid, r_lo, np.minimum(r_hi, nrowsE - 1))
-    counts = np.maximum(ends - starts + 1, 0)
+        r_lo_f = np.floor(ylo)
+        r_hi_f = np.floor(yhi)
+    r_hi_f = np.where((yhi == r_hi_f) & (r_hi_f > r_lo_f), r_hi_f - 1.0, r_hi_f)
+    starts_f = np.where(horiz_grid, r_lo_f - 1.0, np.maximum(r_lo_f, 0.0))
+    ends_f = np.where(horiz_grid, r_lo_f, np.minimum(r_hi_f, (nrowsE - 1).astype(np.float64)))
+    cf = np.maximum(ends_f - starts_f + 1.0, 0.0)
+    with np.errstate(invalid="ignore"):
+        counts = np.where(np.isnan(cf), 0.0, cf).astype(np.int64)
+        starts = starts_f.astype(np.int64)
     eidx, rows = _expand_ranges(starts, counts)
     inr = (rows >= 0) & (rows < nrowsE[eidx])
     eidx, rows = eidx[inr], rows[inr]
     if eidx.size == 0:
-        return masks
+        return masks, buf, moff
     sx0, sy0 = x0[eidx], y0[eidx]
     sx1 = x1[eidx]
     dx = (x1 - x0)[eidx]
@@ -514,24 +561,27 @@ def _burn_label_edges(
     rows, xa, xb = rows[keep], xa[keep], xb[keep]
     slab = lab[eidx[keep]]
     if rows.size == 0:
-        return masks
+        return masks, buf, moff
     ncolsE = ncols_l[slab]
     clo = np.minimum(xa, xb)
     chi = np.maximum(xa, xb)
     with np.errstate(invalid="ignore"):
-        c_lo = np.floor(clo).astype(np.int64)
-        c_hi = np.floor(chi).astype(np.int64)
-    c_hi = np.where((chi == c_hi) & (c_hi > c_lo), c_hi - 1, c_hi)
-    vert_grid = (clo == chi) & (clo == np.floor(clo))
-    cstarts = np.where(vert_grid, c_lo - 1, np.maximum(c_lo, 0))
-    cends = np.where(vert_grid, c_lo, np.minimum(c_hi, ncolsE - 1))
-    ccounts = np.maximum(cends - cstarts + 1, 0)
+        c_lo_f = np.floor(clo)
+        c_hi_f = np.floor(chi)
+    c_hi_f = np.where((chi == c_hi_f) & (c_hi_f > c_lo_f), c_hi_f - 1.0, c_hi_f)
+    vert_grid = (clo == chi) & (clo == c_lo_f)
+    cstarts_f = np.where(vert_grid, c_lo_f - 1.0, np.maximum(c_lo_f, 0.0))
+    cends_f = np.where(vert_grid, c_lo_f, np.minimum(c_hi_f, (ncolsE - 1).astype(np.float64)))
+    ccf = np.maximum(cends_f - cstarts_f + 1.0, 0.0)
+    with np.errstate(invalid="ignore"):
+        ccounts = np.where(np.isnan(ccf), 0.0, ccf).astype(np.int64)
+        cstarts = cstarts_f.astype(np.int64)
     ridx, cols = _expand_ranges(cstarts, ccounts)
     inc = (cols >= 0) & (cols < ncolsE[ridx])
     ridx, cols = ridx[inc], cols[inc]
     if ridx.size:
         buf[moff[slab[ridx]] + rows[ridx] * ncolsE[ridx] + cols] = True
-    return masks
+    return masks, buf, moff
 
 
 def bounding_rect(mask: np.ndarray) -> list[int]:

@@ -252,18 +252,20 @@ def run_tile_kernel(
     fpatch = f + e * pr0
     px = (pts[:, 0] - np.repeat(cpatch, pt_counts)) / a
     py = (pts[:, 1] - np.repeat(fpatch, pt_counts)) / e
-    patches = rasterize.rasterize_all_touched_flat(
-        px, py, ring_starts, label_ring_starts, shape_rows, shape_cols
+    # the burn also hands back every SET pixel of every label mask,
+    # sorted (label, col, row) — the per-(tile,label) patch-slice +
+    # nonzero calls were ~half the kernel's core-seconds at 512 images
+    _, pix_lab, pix_row, pix_col = rasterize.rasterize_all_touched_flat(
+        px, py, ring_starts, label_ring_starts, shape_rows, shape_cols,
+        return_pixels=True,
     )
     pr0_i = pr0.astype(np.int64)
     pc0_i = pc0.astype(np.int64)
-    label_geoms: dict[int, tuple[str, np.ndarray, int, int]] = {
-        int(li): ("MultiPolygon" if gt == 6 else "Polygon", patch, int(r0), int(c0))
-        for li, gt, patch, r0, c0 in zip(g_lis, gtypes, patches, pr0_i, pc0_i)
-    }
+    g_lis_arr = np.asarray(g_lis, dtype=np.int64)
+    lab_pix_start = np.searchsorted(pix_lab, np.arange(nlab + 1))
     if want_phases:
         phase("kernel_raster_us", _t0, _ptime.perf_counter())
-    pairs_pdf = pairs_pdf.loc[~geom_mask]
+    pairs_pdf = pairs_pdf.loc[~geom_mask].reset_index(drop=True)
     if len(pairs_pdf) == 0:
         return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
     nodata = img["nodata"]
@@ -271,6 +273,14 @@ def run_tile_kernel(
     bands = int(img["bands"])
     caption = img["caption"]
     image_key = str(img["image_id"])
+    npairs = len(pairs_pdf)
+    p_co = pairs_pdf["col_off"].to_numpy(dtype=np.int64)
+    p_ro = pairs_pdf["row_off"].to_numpy(dtype=np.int64)
+    p_w = pairs_pdf["width"].to_numpy(dtype=np.int64)
+    p_h = pairs_pdf["height"].to_numpy(dtype=np.int64)
+    p_li = pairs_pdf["label_idx"].to_numpy(dtype=np.int64)
+    p_cat = pairs_pdf["id"].to_numpy(dtype=np.int64)
+    tile_names = np.empty(npairs, dtype=object)
 
     for (col_off, row_off, width, height), group in pairs_pdf.groupby(
         ["col_off", "row_off", "width", "height"], sort=False
@@ -318,71 +328,98 @@ def run_tile_kernel(
             }
         )
 
+        tile_names[group.index.to_numpy()] = tile_name
         if want_phases:
-            _t1 = _ptime.perf_counter()
-            phase("kernel_tile_us", _t0, _t1)
-            _t0 = _t1
+            phase("kernel_tile_us", _t0, _ptime.perf_counter())
 
-        # direct array iteration — iterrows() builds a Series per row,
-        # which dominates at thousands of pairs per tile. The tile-sized
-        # mask is never materialized: RLE/bbox/area come straight from
-        # the patch slice's set-pixel indices (O(label area), not
-        # O(tile area) — the dense path was an allocation storm at 377k
-        # annotations per bench run).
-        for p_label_idx, p_cat_id in zip(
-            group["label_idx"].values, group["id"].values
-        ):
-            gtype, patch, pr0, pc0 = label_geoms[int(p_label_idx)]
-            # R1: intersect the per-label patch with the tile window
-            r0 = max(pr0, row_off)
-            r1 = min(pr0 + patch.shape[0], row_off + tile_h)
-            c0 = max(pc0, col_off)
-            c1 = min(pc0 + patch.shape[1], col_off + tile_w)
-            if r1 <= r0 or c1 <= c0:  # F3 (no pixel overlap at all)
-                bump("masks_empty", 1)
-                continue
-            sub = patch[r0 - pr0 : r1 - pr0, c0 - pc0 : c1 - pc0]
-            # column-major order within the tile: nonzero of the
-            # transpose yields (col, row) pairs sorted by (col, row)
-            scols, srows = np.nonzero(sub.T)
-            if scols.size == 0:  # F3 (bbox overlapped, mask empty)
-                bump("masks_empty", 1)
-                continue
-            bump("annotations_emitted", 1)
-            tile_r0 = r0 - row_off
-            tile_c0 = c0 - col_off
-            flat_idx = (tile_c0 + scols).astype(np.int64) * tile_h + (tile_r0 + srows)
-            enc = rle.encode_from_indices(flat_idx, tile_h, tile_w)  # R5
-            bbox = [  # R6 — cv2.boundingRect [x, y, w, h] semantics
-                int(tile_c0 + scols[0]),
-                int(tile_r0 + srows.min()),
-                int(scols[-1] - scols[0] + 1),
-                int(srows.max() - srows.min() + 1),
-            ]
-            out.append(
-                {
-                    "row_type": "ann",
-                    "image_key": image_key,
-                    "tile_name": tile_name,
-                    "col_off": col_off,
-                    "row_off": row_off,
-                    "width": width,
-                    "height": height,
-                    "tile_width": tile_w,
-                    "tile_height": tile_h,
-                    "tile_bytes": None,
-                    "caption": None,
-                    "label_idx": int(p_label_idx),
-                    "category_id": int(p_cat_id),
-                    "rle_size": enc["size"],
-                    "rle_counts": enc["counts"],
-                    "area": float(scols.size),  # A4
-                    "bbox": bbox,
-                    "iscrowd": 1 if gtype == "MultiPolygon" else 0,  # R7
-                }
-            )
-        if want_phases:
-            phase("kernel_ann_us", _t0, _ptime.perf_counter())
+    # ---- vectorized annotation pass over ALL (tile, label) pairs ----
+    # The per-pair loop (patch slice + nonzero + per-pair RLE/bbox) was
+    # ~97 us/annotation — half the kernel's core-seconds at 512 images.
+    # Same math, zero per-pair Python: candidates expand each pair to
+    # its label's set pixels, a bounds filter keeps the tile window,
+    # and RLE/bbox/area come from segmented (reduceat / CSR) passes.
+    _t0 = _ptime.perf_counter() if want_phases else 0.0
+    order_l = np.argsort(g_lis_arr)
+    lpos = order_l[np.searchsorted(g_lis_arr, p_li, sorter=order_l)]
+    pr0a = pr0_i[lpos]
+    pc0a = pc0_i[lpos]
+    # R1: intersect each label patch with its tile window (image coords)
+    r0 = np.maximum(pr0a, p_ro)
+    r1 = np.minimum(pr0a + shape_rows[lpos], p_ro + p_h)
+    c0 = np.maximum(pc0a, p_co)
+    c1 = np.minimum(pc0a + shape_cols[lpos], p_co + p_w)
+    ok = (r1 > r0) & (c1 > c0)  # F3 (no pixel overlap at all)
+    P = np.nonzero(ok)[0]
+    cand_par, cand_pix = rasterize._expand_ranges(
+        lab_pix_start[lpos[P]], lab_pix_start[lpos[P] + 1] - lab_pix_start[lpos[P]]
+    )
+    sel_cols = pix_col[cand_pix]
+    sel_rows = pix_row[cand_pix]
+    keep = (
+        (sel_cols >= (c0 - pc0a)[P][cand_par])
+        & (sel_cols < (c1 - pc0a)[P][cand_par])
+        & (sel_rows >= (r0 - pr0a)[P][cand_par])
+        & (sel_rows < (r1 - pr0a)[P][cand_par])
+    )
+    cand_par = cand_par[keep]
+    sel_cols = sel_cols[keep]
+    sel_rows = sel_rows[keep]
+    pix_per_pair = np.bincount(cand_par, minlength=len(P))
+    emitted = pix_per_pair > 0  # F3 (bbox overlapped, mask empty)
+    ann_pairs = P[emitted]
+    bump("masks_empty", int((~ok).sum()) + int((~emitted).sum()))
+    bump("annotations_emitted", len(ann_pairs))
+    if len(ann_pairs):
+        g_par = P[cand_par]  # global pair position per kept pixel
+        # tile-space pixel coords (candidates stay (col,row)-sorted per
+        # pair, so the column-major RLE order is preserved)
+        tcol = sel_cols + pc0a[g_par] - p_co[g_par]
+        trow = sel_rows + pr0a[g_par] - p_ro[g_par]
+        flat_idx = tcol * p_h[g_par] + trow
+        ann_counts = pix_per_pair[emitted]
+        ann_starts = np.zeros(len(ann_pairs) + 1, dtype=np.int64)
+        np.cumsum(ann_counts, out=ann_starts[1:])
+        first = ann_starts[:-1]
+        last = ann_starts[1:] - 1
+        # R6 — cv2.boundingRect [x, y, w, h] semantics
+        by = np.minimum.reduceat(trow, first)
+        bh = np.maximum.reduceat(trow, first) - by + 1
+        bbox_l = np.column_stack(
+            [tcol[first], by, tcol[last] - tcol[first] + 1, bh]
+        ).tolist()
+        # R5: batched COCO RLE straight from the set-pixel indices
+        counts_arr, cstarts = rle.indices_to_counts_batch(
+            flat_idx, ann_starts, (p_w * p_h)[ann_pairs]
+        )
+        rle_strs = rle.counts_to_strings_batch(counts_arr, cstarts)
+        ann_df = pd.DataFrame(
+            {
+                "row_type": "ann",
+                "image_key": image_key,
+                "tile_name": tile_names[ann_pairs],
+                "col_off": p_co[ann_pairs],
+                "row_off": p_ro[ann_pairs],
+                "width": p_w[ann_pairs],
+                "height": p_h[ann_pairs],
+                "tile_width": p_w[ann_pairs],
+                "tile_height": p_h[ann_pairs],
+                "tile_bytes": None,
+                "caption": None,
+                "label_idx": p_li[ann_pairs],
+                "category_id": p_cat[ann_pairs],
+                "rle_size": pd.Series(
+                    np.column_stack([p_h[ann_pairs], p_w[ann_pairs]]).tolist()
+                ),
+                "rle_counts": pd.Series(rle_strs),
+                "area": pix_per_pair[emitted].astype(np.float64),  # A4
+                "bbox": pd.Series(bbox_l),
+                "iscrowd": (gtypes[lpos[ann_pairs]] == 6).astype(np.int64),  # R7
+            }
+        )
+    else:
+        ann_df = None
+    if want_phases:
+        phase("kernel_ann_us", _t0, _ptime.perf_counter())
     if tile_sink_dir is not None:
         _t0 = _ptime.perf_counter() if want_phases else 0.0
         band = int(img["band"]) if "band" in image_pdf.columns else 0
@@ -399,7 +436,16 @@ def run_tile_kernel(
                 r["caption"] = None
         if want_phases:
             phase("kernel_sink_us", _t0, _ptime.perf_counter())
-    return pd.DataFrame(out, columns=[f.name for f in _kernel_fields()])
+    cols = [f.name for f in _kernel_fields()]
+    tile_df = pd.DataFrame(out, columns=cols)
+    if ann_df is None or len(ann_df) == 0:
+        return tile_df
+    # column-wise concat: the DataFrame-level concat of an all-NA object
+    # column (tile rows' label_idx etc.) with an int64 column trips a
+    # pandas FutureWarning; per-Series concat has stable semantics
+    return pd.DataFrame(
+        {c: pd.concat([tile_df[c], ann_df[c]], ignore_index=True) for c in cols}
+    )
 
 
 def _kernel_fields():

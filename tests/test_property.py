@@ -64,6 +64,52 @@ class TestRleProperties:
         assert sparse["counts"] == dense["counts"]
 
 
+class TestBatchedRleEquivalence:
+    """indices_to_counts_batch / counts_to_strings_batch (the kernel's
+    zero-per-annotation RLE pass) must be byte-identical to the
+    per-annotation encode_from_indices over mixed batches — empty
+    annotations, full masks, single pixels, varying tile sizes."""
+
+    @NO_DEADLINE
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1, 25),  # h
+                st.integers(1, 25),  # w
+                st.integers(0, 2**31 - 1),  # seed
+                st.floats(0.0, 1.0),  # density
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_batch_matches_single(self, specs):
+        anns = []
+        for h, w, seed, density in specs:
+            total = h * w
+            rng = np.random.RandomState(seed)
+            k = int(round(density * total))
+            idx = np.sort(rng.choice(total, size=k, replace=False)).astype(np.int64)
+            anns.append((idx, h, w))
+        ann_starts = np.concatenate(
+            [[0], np.cumsum([len(a[0]) for a in anns])]
+        ).astype(np.int64)
+        flat = (
+            np.concatenate([a[0] for a in anns])
+            if ann_starts[-1]
+            else np.empty(0, dtype=np.int64)
+        )
+        totals = np.array([h * w for _, h, w in anns], dtype=np.int64)
+        counts, cstarts = rle.indices_to_counts_batch(flat, ann_starts, totals)
+        strs = rle.counts_to_strings_batch(counts, cstarts)
+        for a, (idx, h, w) in enumerate(anns):
+            np.testing.assert_array_equal(
+                counts[cstarts[a] : cstarts[a + 1]], rle.indices_to_counts(idx, h * w)
+            )
+            ref = rle.encode_from_indices(idx, h, w)
+            assert strs[a] == ref["counts"]
+
+
 @st.composite
 def pixel_rings(draw):
     """Closed rings in pixel space mixing arbitrary floats with points
