@@ -28,7 +28,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from geococo_spark.geometry import predicates, wkb
 from geococo_spark.operators import cells
@@ -79,6 +86,94 @@ def _box_intersects_wkb(
     return pd.Series(out)
 
 
+_GEOM_ARRAYS_T = StructType(
+    [
+        StructField("xs", ArrayType(DoubleType())),
+        StructField("ys", ArrayType(DoubleType())),
+        StructField("rid", ArrayType(IntegerType())),
+    ]
+)
+
+
+@pandas_udf(_GEOM_ARRAYS_T)
+def _geom_arrays(geom: pd.Series) -> pd.DataFrame:
+    """Per-LABEL decode of WKB into flat vertex arrays (xs, ys, ring id)
+    for the SQL exact predicate — O(labels), never O(pairs); one
+    batched parse (wkb.decode_batch) per Arrow batch."""
+    wkbs = [bytes(g) for g in geom]
+    pts, ring_starts, label_ring_starts, _ = wkb.decode_batch(wkbs)
+    xs_out, ys_out, rid_out = [], [], []
+    for i in range(len(wkbs)):
+        r0, r1 = int(label_ring_starts[i]), int(label_ring_starts[i + 1])
+        s, e = int(ring_starts[r0]), int(ring_starts[r1])
+        xs_out.append(pts[s:e, 0].tolist())
+        ys_out.append(pts[s:e, 1].tolist())
+        rid_out.append(
+            np.repeat(
+                np.arange(r1 - r0, dtype=np.int32), np.diff(ring_starts[r0 : r1 + 1])
+            ).tolist()
+        )
+    return pd.DataFrame({"xs": xs_out, "ys": ys_out, "rid": rid_out})
+
+
+def _sql_exact_expr() -> "F.Column":
+    """JVM-side exact ``intersects(tile_box, label_polygon)`` over the
+    ``_gx``/``_gy``/``_gr`` vertex arrays — the same three-branch test as
+    :func:`predicates.box_intersects_polygon` (Liang-Barsky edge clip,
+    even-odd corner containment, first-vertex-in-box), in the exact
+    restructured form already proven bit-equal to the Python predicate by
+    the DuckDB q_spatial_join_star oracle. A leading containment CASE
+    short-circuits ~85% of candidates without touching the arrays —
+    something the extracted-ArrowEvalPython UDF plan cannot do (Spark
+    evaluates Python UDFs unconditionally for every row)."""
+    x0 = "element_at(_gx, i + 1)"
+    y0 = "element_at(_gy, i + 1)"
+    x1 = "element_at(_gx, i + 2)"
+    y1 = "element_at(_gy, i + 2)"
+    dx = f"({x1} - {x0})"
+    dy = f"({y1} - {y0})"
+    # guard size < 2: sequence(0, -k) DESCENDS in Spark and element_at
+    # rejects index 0, so degenerate arrays must yield an empty edge list
+    edges = (
+        "CASE WHEN size(_gx) >= 2 THEN "
+        "filter(sequence(0, size(_gx) - 2), "
+        "i -> element_at(_gr, i + 1) = element_at(_gr, i + 2)) "
+        "ELSE array() END"
+    )
+    lb_hit = f"""(
+      NOT (({dx} = 0D AND ({x0} - tile_minx < 0D OR tile_maxx - {x0} < 0D))
+        OR ({dy} = 0D AND ({y0} - tile_miny < 0D OR tile_maxy - {y0} < 0D)))
+      AND greatest(0.0D,
+        CASE WHEN {dx} > 0D THEN ({x0} - tile_minx) / (-{dx}) ELSE -1e308D END,
+        CASE WHEN {dx} < 0D THEN (tile_maxx - {x0}) / {dx} ELSE -1e308D END,
+        CASE WHEN {dy} > 0D THEN ({y0} - tile_miny) / (-{dy}) ELSE -1e308D END,
+        CASE WHEN {dy} < 0D THEN (tile_maxy - {y0}) / {dy} ELSE -1e308D END)
+      <= least(1.0D,
+        CASE WHEN {dx} < 0D THEN ({x0} - tile_minx) / (-{dx}) ELSE 1e308D END,
+        CASE WHEN {dx} > 0D THEN (tile_maxx - {x0}) / {dx} ELSE 1e308D END,
+        CASE WHEN {dy} < 0D THEN ({y0} - tile_miny) / (-{dy}) ELSE 1e308D END,
+        CASE WHEN {dy} > 0D THEN (tile_maxy - {y0}) / {dy} ELSE 1e308D END)
+    )"""
+    edge_hit = f"exists({edges}, i -> {lb_hit})"
+    corner_in = f"""(
+      aggregate({edges}, 0, (acc, i) -> acc +
+        CASE WHEN ({y0} > tile_miny) != ({y1} > tile_miny)
+                  AND tile_minx < {x0} + (tile_miny - {y0}) * {dx} / {dy}
+             THEN 1 ELSE 0 END) % 2) = 1"""
+    v0_in = (
+        "(size(_gx) > 0 AND element_at(_gx, 1) BETWEEN tile_minx AND tile_maxx"
+        " AND element_at(_gy, 1) BETWEEN tile_miny AND tile_maxy)"
+    )
+    contained = (
+        "tile_minx <= label_minx AND tile_maxx >= label_maxx"
+        " AND tile_miny <= label_miny AND tile_maxy >= label_maxy"
+    )
+    return F.expr(
+        f"CASE WHEN {contained} THEN TRUE "
+        f"ELSE ({edge_hit} OR {corner_in} OR {v0_in}) END"
+    )
+
+
 def _bbox_overlap() -> "F.Column":
     return (
         (F.col("tile_minx") <= F.col("label_maxx"))
@@ -116,6 +211,8 @@ def spatial_join(
     exact: bool = True,
     label_count: int | None = None,
     output_geometry: bool = True,
+    dedupe: bool = True,
+    exact_mode: str | None = None,
 ) -> DataFrame:
     """Join tiles to intersecting labels.
 
@@ -138,6 +235,25 @@ def spatial_join(
     :return: one row per intersecting (tile, label) pair, with all tile
         and label columns
     """
+    if exact_mode is None:
+        # "sql" (default): pure JVM exact residual. "udf": the pandas-UDF
+        # shape kept for A/B and as a fallback; override via env for
+        # whole-pipeline comparisons without plumbing a parameter
+        import os
+
+        exact_mode = os.environ.get("GEOCOCO_EXACT_MODE", "sql")
+    if exact and exact_mode == "sql":
+        # vertex arrays attached per LABEL (O(labels) decode) so the
+        # exact residual runs as a pure JVM expression on the join rows
+        labels = (
+            labels.withColumn("_ga", _geom_arrays(F.col(geometry)))
+            .withColumn("_gx", F.col("_ga.xs"))
+            .withColumn("_gy", F.col("_ga.ys"))
+            .withColumn("_gr", F.col("_ga.rid"))
+            .drop("_ga")
+        )
+    elif exact and exact_mode != "udf":
+        raise ValueError(f"unknown exact_mode: {exact_mode!r}")
     lbl_cells = cells.with_cell_cover(
         labels, cell_size, "label_minx", "label_miny", "label_maxx", "label_maxy"
     )
@@ -173,7 +289,15 @@ def spatial_join(
         joined = tile_salted.join(lbl_salted, ["cell", "salt"], "inner").drop("salt")
 
     joined = joined.filter(_bbox_overlap())
-    if exact:
+    if exact and exact_mode == "sql":
+        # JVM exact residual: containment CASE short-circuits ~85% of
+        # candidates; the rest evaluate Liang-Barsky/even-odd over the
+        # label's vertex arrays — no Arrow hop, no Python on the
+        # per-pair hot path (the pandas-UDF exact filter measured 4.1 s
+        # of the 7.4 s pairs phase at 512 images, while rejecting ~0
+        # rows on blob labels; the probe rows are in BENCH/BASELINE.md)
+        joined = joined.filter(_sql_exact_expr())
+    elif exact:
         # the exact residual stays a SINGLE pipelined UDF filter inside
         # the join stage. A "thin" split — containment decided JVM-side,
         # WKB re-attached only to boundary straddlers — was built and
@@ -198,7 +322,11 @@ def spatial_join(
             )
         )
     drop = ["cell"] if output_geometry else ["cell", geometry]
-    return joined.drop(*drop).dropDuplicates([tile_id, label_id])
+    joined = joined.drop(*drop, "_gx", "_gy", "_gr")
+    # dedupe=False exposes the pre-dedup candidate stream (a pair appears
+    # once per shared cell) — profiling/diagnostics only, never correct
+    # as pipeline input
+    return joined.dropDuplicates([tile_id, label_id]) if dedupe else joined
 
 
 def spatial_join_brute_force(

@@ -22,6 +22,7 @@ checkpoint_dir or tile sink is set).
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 import pandas as pd
@@ -341,6 +342,12 @@ def append_dataset(
             timings[phase] = round(now - _t[0], 3)
             _t[0] = now
 
+    def _submark(phase: str) -> None:
+        # partial reading inside a phase (does NOT reset the clock, so
+        # the enclosing phase keeps its historical span)
+        if timings is not None:
+            timings[phase] = round(_time.perf_counter() - _t[0], 3)
+
     # ① F4 type coercion (no job)
     labels, present_id = _coerce_labels(labels, id_attribute, name_attribute, super_attribute)
 
@@ -600,6 +607,34 @@ def append_dataset(
         )
         return geom_rows.unionByName(pair_rows)
 
+    if timings is not None and os.environ.get("SPARK_GRAFT_PAIRS_PROBE") == "1":
+        # diagnostics only (inflates total): time the join's sub-plans
+        # with the REAL tiles/labels to attribute the pairs phase —
+        # candidate generation vs exact predicate vs dedupe shuffle
+        def _probe(name: str, exact: bool, dedupe: bool) -> None:
+            t0 = _time.perf_counter()
+            n = spatial_join.spatial_join(
+                tiles,
+                labels.select(
+                    "label_idx", "geometry", "geom_type", "id",
+                    "label_minx", "label_miny", "label_maxx", "label_maxy",
+                ),
+                cell_size=cell_size,
+                label_id="label_idx",
+                broadcast_rows=broadcast_rows,
+                label_count=n_labels,
+                output_geometry=False,
+                exact=exact,
+                dedupe=dedupe,
+            ).count()
+            timings[f"probe_{name}"] = round(_time.perf_counter() - t0, 3)
+            timings[f"probe_{name}_rows"] = n
+
+        _probe("cand", exact=False, dedupe=False)
+        _probe("exact", exact=True, dedupe=False)
+        _probe("dedup", exact=True, dedupe=True)
+        _t[0] = _time.perf_counter()  # exclude probe time from the phase
+
     ckpt = StageCheckpoint(spark, checkpoint_dir) if checkpoint_dir is not None else None
     if ckpt is not None:
         fingerprint = "|".join(
@@ -630,6 +665,7 @@ def append_dataset(
         pairs_thin = ckpt.run("pairs", fingerprint, _pairs_thin, metrics)
     else:
         pairs_thin = _pairs_thin().localCheckpoint()
+    _submark("pairs_spatial")  # grid + join + materialization (sub-reading)
     img_cg, pairs_banded = banded_cogroup_inputs(images, pairs_thin, band_split_pairs)
     if kernel_input_mode not in ("auto", "broadcast", "cogroup"):
         raise ValueError(f"unknown kernel_input_mode: {kernel_input_mode!r}")

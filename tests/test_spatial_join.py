@@ -208,3 +208,88 @@ class TestKnn:
         got = knn.knn_assign(labels, tiles, cell_size=10.0, k=2, rings=2).collect()
         assert len(got) == 2
         assert sorted(r.knn_rank for r in got) == [1, 2]
+
+
+def make_star_labels(spark, centers, radii, n_spikes=5, seed=0):
+    """Concave star polygons (incl. one MultiPolygon) — bbox candidates
+    the exact predicate must REJECT, so both exact modes' interesting
+    branches fire."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i, ((cx, cy), r) in enumerate(zip(centers, radii)):
+        ang = np.linspace(0.0, 2.0 * np.pi, 2 * n_spikes, endpoint=False)
+        ang += rng.rand() * 0.5
+        rad = np.where(np.arange(2 * n_spikes) % 2 == 0, r, 0.25 * r)
+        pts = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        ring = np.vstack([pts, pts[:1]])
+        if i % 3 == 2:  # every third label: MultiPolygon of two small stars
+            ring2 = ring * 0.4 + np.array([r, -r]) * 0.8
+            gb = wkb.encode_multipolygon([[ring], [ring2]])
+            allp = np.vstack([ring, ring2])
+        else:
+            gb = wkb.encode_polygon([ring])
+            allp = ring
+        rows.append(
+            Row(
+                label_id=i,
+                geometry=bytearray(gb),
+                label_minx=float(allp[:, 0].min()),
+                label_miny=float(allp[:, 1].min()),
+                label_maxx=float(allp[:, 0].max()),
+                label_maxy=float(allp[:, 1].max()),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+class TestSqlExactMode:
+    """The JVM-SQL exact predicate must agree pair-for-pair with the
+    pandas-UDF predicate AND the brute-force oracle — on concave stars
+    where the exact test rejects bbox candidates (the branch that does
+    real work), grid-aligned circles, and MultiPolygons."""
+
+    def _inputs(self, spark):
+        rng = np.random.RandomState(7)
+        centers = [(float(x), float(-y)) for x, y in rng.rand(25, 2) * 90]
+        radii = [float(r) for r in rng.rand(25) * 8 + 2]
+        labels = make_star_labels(spark, centers, radii)
+        tiles = make_tiles(spark, 9, 10.0)
+        return tiles, labels
+
+    def test_sql_matches_udf_and_brute_force(self, spark):
+        tiles, labels = self._inputs(spark)
+        got_sql = pairs(
+            spatial_join.spatial_join(tiles, labels, cell_size=25.0, exact_mode="sql")
+        )
+        got_udf = pairs(
+            spatial_join.spatial_join(tiles, labels, cell_size=25.0, exact_mode="udf")
+        )
+        brute = pairs(spatial_join.spatial_join_brute_force(tiles, labels))
+        assert got_sql == got_udf == brute
+        bbox_only = pairs(
+            spatial_join.spatial_join(tiles, labels, cell_size=25.0, exact=False)
+        )
+        # the exact branch must have rejected something, or this test
+        # proves nothing about the interesting path
+        assert len(bbox_only) > len(got_sql) > 0
+
+    def test_sql_mode_gridline_circles(self, spark):
+        # circles whose bboxes sit exactly on tile edges (touch counts)
+        labels = make_labels(spark, [(10.0, -10.0), (20.0, -20.0), (30.0, -5.0)], [5.0, 10.0, 2.5])
+        tiles = make_tiles(spark, 4, 10.0)
+        got_sql = pairs(
+            spatial_join.spatial_join(tiles, labels, cell_size=20.0, exact_mode="sql")
+        )
+        brute = pairs(spatial_join.spatial_join_brute_force(tiles, labels))
+        assert got_sql == brute
+
+    def test_sql_mode_salted_shuffle(self, spark):
+        tiles, labels = self._inputs(spark)
+        got = pairs(
+            spatial_join.spatial_join(
+                tiles, labels, cell_size=25.0, broadcast_rows=0, hot_threshold=1,
+                exact_mode="sql",
+            )
+        )
+        brute = pairs(spatial_join.spatial_join_brute_force(tiles, labels))
+        assert got == brute
