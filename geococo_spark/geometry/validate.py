@@ -32,7 +32,64 @@ from geococo_spark.geometry import predicates, wkb
 
 def wkb_valid_batch(geoms) -> np.ndarray:
     """Validity of each WKB geometry in ``geoms`` (iterable of
-    bytes-like); returns a boolean numpy array of the same length."""
+    bytes-like); returns a boolean numpy array of the same length.
+
+    Fast path: ONE CSR parse for the whole batch (wkb.decode_batch) and
+    fully-vectorized closure/area/simplicity — no per-geometry Python.
+    A malformed WKB anywhere in the batch falls back to the original
+    per-geometry loop (semantics identical, pinned by the parity test);
+    malformed inputs are the exception, not the rule, on the append
+    prologue.
+    """
+    try:
+        wkbs = [bytes(g) for g in geoms]
+        pts, ring_starts, label_ring_starts, _ = wkb.decode_batch(wkbs)
+    except Exception:
+        return _wkb_valid_batch_loop(geoms)
+    n_geoms = len(wkbs)
+    ok = np.ones(n_geoms, dtype=bool)
+    rc = np.diff(label_ring_starts)
+    ok &= rc > 0
+    lens_all = np.diff(ring_starts)
+    n_rings = len(lens_all)
+    if n_rings == 0:
+        return ok
+    owner_all = np.repeat(np.arange(n_geoms, dtype=np.int64), rc)
+    ok[owner_all[lens_all < 4]] = False  # any ring with < 4 points
+    # closure + shoelace area for every nonempty ring in one pass
+    nzr = lens_all > 0
+    snz = ring_starts[:-1][nzr]
+    enz = ring_starts[1:][nzr]
+    x, y = pts[:, 0], pts[:, 1]
+    c = np.empty(len(pts), dtype=np.float64)
+    if len(pts):
+        c[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+        c[-1] = 0.0
+        c[enz - 1] = 0.0
+    closed = (pts[snz] == pts[enz - 1]).all(axis=1)
+    areas = 0.5 * np.add.reduceat(c, snz)
+    ring_ok_nz = closed & (np.abs(areas) != 0.0)
+    ok[owner_all[nzr][~ring_ok_nz]] = False
+    # self-intersection per equal-length group, only for rings that are
+    # still live (owner valid so far, closure/area passed) — the same
+    # rings the per-geometry loop tests; stacking is a fancy-index
+    # gather, not a python list build
+    live = np.nonzero(nzr)[0][ring_ok_nz]
+    live = live[(lens_all[live] >= 4) & ok[owner_all[live]]]
+    if live.size:
+        llens = lens_all[live]
+        for npts in np.unique(llens):
+            grp = live[llens == npts]
+            gstarts = ring_starts[:-1][grp]
+            stacked = pts[gstarts[:, None] + np.arange(npts)]
+            bad = ~predicates.rings_simple_batch(stacked)
+            ok[owner_all[grp[bad]]] = False
+    return ok
+
+
+def _wkb_valid_batch_loop(geoms) -> np.ndarray:
+    """Per-geometry fallback (original implementation) — isolates a
+    malformed WKB to its own row instead of failing the batch."""
     n_geoms = len(geoms)
     ok = np.ones(n_geoms, dtype=bool)
     ring_list: list[np.ndarray] = []

@@ -160,6 +160,39 @@ class TestValidateBatch:
         assert got.tolist() == expected
         assert expected.count(True) >= 42 and expected.count(False) >= 6
 
+    def test_fast_path_parity(self):
+        """The CSR fast path (no malformed WKB in the batch) must match
+        the per-geometry fallback exactly — the full-fixture parity test
+        above always falls back because it contains garbage bytes."""
+        from geococo_spark.geometry import validate
+
+        geoms = [g for g in self._fixtures() if len(g) > 5 and wkb.geom_type(bytes(g)) != "Point"]
+        # the clean batch must actually take the fast path
+        wkb.decode_batch([bytes(g) for g in geoms])  # raises -> fixture broke
+        got = validate.wkb_valid_batch(geoms)
+        ref = validate._wkb_valid_batch_loop(geoms)
+        assert got.tolist() == ref.tolist()
+        assert got.tolist() == [_valid_reference_loop(g) for g in geoms]
+
+    def test_fast_path_parity_random(self):
+        from geococo_spark.geometry import validate
+
+        rng = np.random.RandomState(23)
+        geoms = []
+        for i in range(300):
+            n = rng.randint(3, 10)
+            pts = rng.rand(n, 2) * 50
+            ring = np.vstack([pts, pts[:1]]) if rng.rand() < 0.8 else pts
+            if rng.rand() < 0.2:
+                geoms.append(wkb.encode_multipolygon([[ring], [ring + 5.0]]))
+            elif rng.rand() < 0.1:
+                geoms.append(wkb.encode_polygon([]))
+            else:
+                geoms.append(wkb.encode_polygon([ring]))
+        got = validate.wkb_valid_batch(geoms)
+        ref = validate._wkb_valid_batch_loop(geoms)
+        assert got.tolist() == ref.tolist()
+
     def test_empty_batch(self):
         from geococo_spark.geometry import validate
 
