@@ -58,6 +58,7 @@ def main() -> None:
         state = CocoState.create(spark)
         sink = tempfile.mkdtemp(prefix="geococo_profsink_") if sink_mode else None
         t0 = time.perf_counter()
+        kernel_mode = os.environ.get("SPARK_GRAFT_PROFILE_KERNEL_MODE", "cogroup")
         state = pipeline.append_dataset(
             spark, state, datagen.stage_images_parquet(
                 spark, f"{stage}/images_{n}", n, files=max(8, n // 4)
@@ -65,6 +66,7 @@ def main() -> None:
             images_dir="bench_images", window_bounds=[(128, 128), (256, 256)],
             id_attribute="category_id", name_attribute="class_names",
             metrics=m, timings=timings, tile_sink_dir=sink,
+            kernel_input_mode=kernel_mode,
         )
         t1 = time.perf_counter()
         anns = state.annotations.count()
