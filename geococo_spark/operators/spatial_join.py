@@ -168,8 +168,20 @@ def _sql_exact_expr() -> "F.Column":
         "tile_minx <= label_minx AND tile_maxx >= label_maxx"
         " AND tile_miny <= label_miny AND tile_maxy >= label_maxy"
     )
+    # the bbox-disjoint early-out is INSIDE the CASE, not left to an
+    # outer filter: Catalyst reorders merged join-condition conjuncts
+    # (observed: refpoint-dedupe equality first, this CASE second, the
+    # bbox filter LAST — which made the HOF run for every cell
+    # co-resident pair and cost 18 s instead of 2 s at 512 images), so
+    # the expression must reject cheap cases itself, exactly like
+    # predicates.box_intersects_polygon's own early-out
+    disjoint = (
+        "tile_minx > label_maxx OR tile_maxx < label_minx"
+        " OR tile_miny > label_maxy OR tile_maxy < label_miny"
+    )
     return F.expr(
-        f"CASE WHEN {contained} THEN TRUE "
+        f"CASE WHEN {disjoint} THEN FALSE "
+        f"WHEN {contained} THEN TRUE "
         f"ELSE ({edge_hit} OR {corner_in} OR {v0_in}) END"
     )
 
@@ -213,6 +225,7 @@ def spatial_join(
     output_geometry: bool = True,
     dedupe: bool = True,
     exact_mode: str | None = None,
+    dedupe_mode: str | None = None,
 ) -> DataFrame:
     """Join tiles to intersecting labels.
 
@@ -242,6 +255,10 @@ def spatial_join(
         import os
 
         exact_mode = os.environ.get("GEOCOCO_EXACT_MODE", "sql")
+    if dedupe_mode is None:
+        import os
+
+        dedupe_mode = os.environ.get("GEOCOCO_DEDUPE_MODE", "refpoint")
     if exact and exact_mode == "sql":
         # vertex arrays attached per LABEL (O(labels) decode) so the
         # exact residual runs as a pure JVM expression on the join rows
@@ -289,6 +306,26 @@ def spatial_join(
         joined = tile_salted.join(lbl_salted, ["cell", "salt"], "inner").drop("salt")
 
     joined = joined.filter(_bbox_overlap())
+    if dedupe and dedupe_mode == "refpoint":
+        # reference-point dedupe (classic SpatialHadoop/Sedona technique):
+        # a (tile, label) pair is joined once per SHARED cover cell; keep
+        # it only in the cell containing the bbox-intersection min corner
+        # — a pure filter, so the dropDuplicates exchange disappears and
+        # the exact predicate below runs once per pair instead of once
+        # per shared cell. Exactness: greatest() returns one of the two
+        # exact column values, so floor(ref/cs) is computed bit-identically
+        # to that side's own cover floors, and bbox overlap guarantees the
+        # corner cell is in BOTH covers (emitted exactly once, salted or
+        # broadcast alike).
+        cs = F.lit(float(cell_size))
+        ref_cell = (
+            F.floor(F.greatest("tile_minx", "label_minx") / cs).cast("long")
+            * F.lit(cells.CELL_STRIDE)
+            + F.floor(F.greatest("tile_miny", "label_miny") / cs).cast("long")
+        )
+        joined = joined.filter(F.col("cell") == ref_cell)
+    elif dedupe and dedupe_mode != "shuffle":
+        raise ValueError(f"unknown dedupe_mode: {dedupe_mode!r}")
     if exact and exact_mode == "sql":
         # JVM exact residual: containment CASE short-circuits ~85% of
         # candidates; the rest evaluate Liang-Barsky/even-odd over the
@@ -325,8 +362,10 @@ def spatial_join(
     joined = joined.drop(*drop, "_gx", "_gy", "_gr")
     # dedupe=False exposes the pre-dedup candidate stream (a pair appears
     # once per shared cell) — profiling/diagnostics only, never correct
-    # as pipeline input
-    return joined.dropDuplicates([tile_id, label_id]) if dedupe else joined
+    # as pipeline input. refpoint mode already deduped with a filter.
+    if not dedupe or dedupe_mode == "refpoint":
+        return joined
+    return joined.dropDuplicates([tile_id, label_id])
 
 
 def spatial_join_brute_force(

@@ -613,7 +613,7 @@ def append_dataset(
         # candidate generation vs exact predicate vs dedupe shuffle
         def _probe(name: str, exact: bool, dedupe: bool) -> None:
             t0 = _time.perf_counter()
-            n = spatial_join.spatial_join(
+            df = spatial_join.spatial_join(
                 tiles,
                 labels.select(
                     "label_idx", "geometry", "geom_type", "id",
@@ -626,11 +626,18 @@ def append_dataset(
                 output_geometry=False,
                 exact=exact,
                 dedupe=dedupe,
-            ).count()
+            )
+            if os.environ.get("SPARK_GRAFT_PAIRS_PROBE_EXPLAIN") == "1":
+                import sys as _sys
+
+                print(f"==== probe {name} plan ====", file=_sys.stderr)
+                df.explain("formatted")
+            n = df.count()
             timings[f"probe_{name}"] = round(_time.perf_counter() - t0, 3)
             timings[f"probe_{name}_rows"] = n
 
         _probe("cand", exact=False, dedupe=False)
+        _probe("bbox_dedup", exact=False, dedupe=True)
         _probe("exact", exact=True, dedupe=False)
         _probe("dedup", exact=True, dedupe=True)
         _t[0] = _time.perf_counter()  # exclude probe time from the phase

@@ -293,3 +293,41 @@ class TestSqlExactMode:
         )
         brute = pairs(spatial_join.spatial_join_brute_force(tiles, labels))
         assert got == brute
+
+
+class TestRefpointDedupe:
+    """The reference-point filter must produce exactly the dropDuplicates
+    pair set — broadcast and salted, negative coords, cell-spanning
+    labels — with no duplicate rows."""
+
+    def _check(self, spark, tiles, labels, **kw):
+        ref = spatial_join.spatial_join(
+            tiles, labels, dedupe_mode="refpoint", **kw
+        ).select("tile_id", "label_id").collect()
+        shf = pairs(spatial_join.spatial_join(tiles, labels, dedupe_mode="shuffle", **kw))
+        got = sorted((r.tile_id, r.label_id) for r in ref)
+        assert got == shf
+        assert len(got) == len(set(got))  # refpoint emitted each pair once
+
+    def test_broadcast(self, spark):
+        labels = make_labels(spark, [(10.0, -10.0), (33.0, -41.0), (5.0, -60.0)], [8.0, 30.0, 2.0])
+        tiles = make_tiles(spark, 8, 10.0)
+        self._check(spark, tiles, labels, cell_size=25.0)
+
+    def test_salted(self, spark):
+        labels = make_labels(spark, [(10.0, -10.0), (33.0, -41.0)], [30.0, 15.0])
+        tiles = make_tiles(spark, 8, 10.0)
+        self._check(spark, tiles, labels, cell_size=25.0, broadcast_rows=0, hot_threshold=1)
+
+    def test_negative_coords(self, spark):
+        labels = make_labels(spark, [(-35.0, 22.0), (-5.0, -3.0)], [12.0, 6.0])
+        tiles = make_tiles(spark, 6, 10.0, origin=(-50.0, 40.0))
+        self._check(spark, tiles, labels, cell_size=15.0)
+
+    def test_stars(self, spark):
+        rng = np.random.RandomState(3)
+        centers = [(float(x), float(-y)) for x, y in rng.rand(20, 2) * 70]
+        radii = [float(r) for r in rng.rand(20) * 10 + 2]
+        labels = make_star_labels(spark, centers, radii)
+        tiles = make_tiles(spark, 8, 10.0)
+        self._check(spark, tiles, labels, cell_size=20.0)
