@@ -12,13 +12,20 @@ plan mandated by the north_rule:
      hot cells are replicated across ``n_salt`` sub-keys, tiles hash to
      one sub-key — a hot cell's probe work fans out over n_salt tasks,
 3. bbox residual (pure column predicate, evaluated in the join),
-4. exact residual ``intersects(tile_box, label_polygon)`` via a
-   vectorized pandas UDF (Arrow batches; numpy predicates),
-5. ``dropDuplicates`` to undo multi-cell duplication.
+4. exact residual ``intersects(tile_box, label_polygon)`` — by default a
+   pure Spark SQL expression over per-label vertex arrays
+   (``exact_mode="sql"``: bbox-disjoint early-out, containment
+   short-circuit, then Liang-Barsky/even-odd; the pandas-UDF shape
+   remains as ``exact_mode="udf"``),
+5. reference-point dedupe (``dedupe_mode="refpoint"``): a pair is kept
+   only in the cell containing its bbox-intersection min corner — a
+   pure filter, so multi-cell duplication costs no exchange
+   (``dedupe_mode="shuffle"`` keeps the old ``dropDuplicates``).
 
-At 100 TB the only wide exchanges are the cell-key shuffle (skipped
-entirely in broadcast mode) and the final dedupe, which reuses the same
-key prefix. AQE skew-join is left on as a backstop (session.py).
+At 100 TB the only wide exchange left is the cell-key shuffle itself —
+skipped entirely in broadcast mode, where the pairs stage is now
+shuffle-free end to end. AQE skew-join is left on as a backstop
+(session.py).
 """
 
 from __future__ import annotations
