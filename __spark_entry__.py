@@ -904,6 +904,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.split(F.col("rle"), r"\|")[1].cast("long").alias("rle_area"),
         )
 
+    def q_coco_stars(spark, sf_dir):
+        # Round 5: the pixel trust surface extended from axis-aligned
+        # boxes (q_coco_boxes/q_coco_rle closed forms) to genuinely
+        # CONCAVE polygons: the REAL all_touched rasterizer (scanline
+        # fill + boundary supercover, the exact composition behind every
+        # kernel mask — rasterize.py) runs on 8-vertex star polygons and
+        # its area, bbox AND COCO RLE bytes are pinned by a DuckDB
+        # oracle that re-implements the same fill/supercover formulas
+        # from scratch in SQL (crossing pairing via window functions,
+        # Liang-Barsky row clipping, run detection via lag, the public
+        # varint spec via the shared helpers). Stars have no horizontal/
+        # vertical edges by construction, so the gridline special rules
+        # stay pinned by the rasterize property tests (same division of
+        # labor as q_coco_boxes).
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        from geococo_spark.geometry import rasterize, rle
+        from geococo_spark.operators import spatial_join
+
+        stars = _t(spark, sf_dir, "customer").selectExpr(
+            "c_custkey AS label_id",
+            f"CAST({_PX} AS DOUBLE) AS px",
+            f"CAST({_PY} AS DOUBLE) AS py",
+            f"CAST({_S} AS DOUBLE) AS s",
+        ).selectExpr(
+            "label_id", "px", "py", "s",
+            "px - s AS label_minx",
+            "py - s AS label_miny",
+            "px + s AS label_maxx",
+            "py + s AS label_maxy",
+        )
+        pairs = spatial_join.spatial_join(
+            _tiles_grid(spark),
+            stars,
+            cell_size=100.0,
+            label_id="label_id",
+            exact=False,
+            geometry="label_id",  # unused in bbox-only mode
+        )
+
+        @pandas_udf(StringType())
+        def _star_mask_stats(pxs, pys, ss, tminx, tmaxy):
+            dx = np.array([1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35])
+            dy = np.array([0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35])
+            out = []
+            for cx, cy, s, tc, tf in zip(pxs, pys, ss, tminx, tmaxy):
+                xs = cx + s * dx
+                ys = cy + s * dy
+                ring = np.column_stack(
+                    [np.append(xs, xs[0]), np.append(ys, ys[0])]
+                )
+                mask = rasterize.rasterize_all_touched(
+                    [ring], (1.0, 0.0, float(tc), 0.0, -1.0, float(tf)), (100, 100)
+                )
+                bb = rasterize.bounding_rect(mask)
+                scols, srows = np.nonzero(mask.T)
+                flat = scols.astype(np.int64) * 100 + srows
+                enc = rle.encode_from_indices(flat, 100, 100)
+                out.append(
+                    f"{int(mask.sum())}|{bb[0]},{bb[1]},{bb[2]},{bb[3]}|"
+                    f"{enc['counts'].decode('ascii')}"
+                )
+            return pd.Series(out)
+
+        stats = pairs.withColumn(
+            "stats", _star_mask_stats("px", "py", "s", "tile_minx", "tile_maxy")
+        )
+        anns = ids.assign_sequential_ids(stats, ["ti", "tj", "label_id"], "ann_id")
+        return anns.select(
+            "tile_id",
+            "label_id",
+            "ann_id",
+            F.split(F.col("stats"), r"\|")[0].cast("long").alias("area"),
+            F.split(F.col("stats"), r"\|")[1].alias("bbox"),
+            F.split(F.col("stats"), r"\|")[2].alias("rle_counts"),
+        )
+
     def q_coco_pipeline(spark, sf_dir):
         return entry(spark)
 
@@ -947,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coco_skeleton": q_coco_skeleton,
         "q_coco_boxes": q_coco_boxes,
         "q_coco_rle": q_coco_rle,
+        "q_coco_stars": q_coco_stars,
         "q_coco_pipeline": q_coco_pipeline,
     }
 
@@ -1261,6 +1342,173 @@ FROM anns
 
 _STAR_DX = "[1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35]"
 _STAR_DY = "[0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35]"
+
+
+def _coco_stars_oracle_sql() -> str:
+    """all_touched area + bbox + COCO RLE bytes of CONCAVE star polygons
+    in SQL — a from-scratch re-implementation of the engine's rasterizer
+    semantics (rasterize.py): scanline fill (strict even-odd crossings
+    at row centers, crossings paired by (xint, edge-order) window
+    ranking — numpy's stable lexsort tie rule — spans
+    ceil(xs-0.5)..ceil(xe-0.5)-1) UNION boundary supercover (per-edge
+    row bands floor(ylo)..floor(yhi) with the exact endpoint-on-gridline
+    adjustment, Liang-Barsky-style row clipping t=(r-y0)/dy, column
+    ranges with the same adjustment and the single-point
+    vertical-gridline two-cell rule). Runs come from lag() over the
+    column-major flat index; the varint uses the shared helpers
+    (arithmetic-shift-by-floor-division, delta vs counts[i-2]). Stars
+    have no horizontal/vertical edges by construction, so the engine's
+    horizontal-gridline branch is unreachable for this data (that branch
+    stays pinned by the rasterize property tests). Pixel-less bbox
+    candidates (the concave rejections) emit area 0 / '0,0,0,0' /
+    varint(10000), exactly like the kernel's empty-mask annotations
+    would encode a zero mask."""
+    vc = ",\n         ".join(_varint_cols("dval", "vs"))
+    return f"""
+WITH tiles AS ({_TILES_SQL}),
+stars AS (
+  SELECT c_custkey AS label_id,
+         CAST({_PX} AS DOUBLE) AS px,
+         CAST({_PY} AS DOUBLE) AS py,
+         CAST({_S} AS DOUBLE) AS s
+  FROM customer),
+pairs AS (
+  SELECT t.tile_id, t.ti, t.tj, t.tile_minx, t.tile_miny, t.tile_maxx, t.tile_maxy,
+         st.label_id, st.px, st.py, st.s
+  FROM tiles t JOIN stars st
+    ON t.tile_minx <= st.px + st.s AND t.tile_maxx >= st.px - st.s
+   AND t.tile_miny <= st.py + st.s AND t.tile_maxy >= st.py - st.s),
+edges AS (
+  SELECT p.tile_id, p.label_id, e.k,
+         (p.px + p.s * ({_STAR_DX})[e.k + 1]) - p.tile_minx AS x0,
+         ((p.py + p.s * ({_STAR_DY})[e.k + 1]) - p.tile_maxy) / (-1.0) AS y0,
+         (p.px + p.s * ({_STAR_DX})[(e.k + 1) % 8 + 1]) - p.tile_minx AS x1,
+         ((p.py + p.s * ({_STAR_DY})[(e.k + 1) % 8 + 1]) - p.tile_maxy) / (-1.0) AS y1
+  FROM pairs p, (SELECT unnest(generate_series(0, 7)) AS k) e),
+ed AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM edges),
+crows AS (
+  SELECT *, unnest(generate_series(
+      CAST(greatest(floor(least(y0, y1)) - 1, 0) AS BIGINT),
+      CAST(least(ceil(greatest(y0, y1)) + 1, 99) AS BIGINT))) AS r
+  FROM ed),
+cr AS (
+  SELECT tile_id, label_id, k, r,
+         x0 + ((CAST(r AS DOUBLE) + 0.5) - y0) * (x1 - x0) / (y1 - y0) AS xint
+  FROM crows
+  WHERE (y0 > CAST(r AS DOUBLE) + 0.5) != (y1 > CAST(r AS DOUBLE) + 0.5)),
+crn AS (
+  SELECT *, row_number() OVER (PARTITION BY tile_id, label_id, r
+                               ORDER BY xint, k) AS rn
+  FROM cr),
+spans AS (
+  SELECT a.tile_id, a.label_id, a.r,
+         greatest(CAST(ceil(a.xint - 0.5) AS BIGINT), 0) AS c0,
+         least(CAST(ceil(b.xint - 0.5) AS BIGINT) - 1, 99) AS c1
+  FROM crn a JOIN crn b
+    ON b.tile_id = a.tile_id AND b.label_id = a.label_id AND b.r = a.r
+   AND b.rn = a.rn + 1
+  WHERE a.rn % 2 = 1),
+fillpix AS (
+  SELECT tile_id, label_id, r, unnest(generate_series(c0, c1)) AS c
+  FROM spans WHERE c1 >= c0),
+scrows AS (
+  SELECT *, unnest(generate_series(
+      CAST(greatest(floor(least(y0, y1)), 0) AS BIGINT),
+      CAST(least(CASE WHEN greatest(y0, y1) = floor(greatest(y0, y1))
+                       AND floor(greatest(y0, y1)) > floor(least(y0, y1))
+                  THEN floor(greatest(y0, y1)) - 1
+                  ELSE floor(greatest(y0, y1)) END, 99) AS BIGINT))) AS r
+  FROM ed),
+sclip AS (
+  SELECT tile_id, label_id, r, least(xa, xb) AS clo, greatest(xa, xb) AS chi
+  FROM (
+    SELECT *, x0 + tlo * dx AS xa, x0 + thi * dx AS xb
+    FROM (
+      SELECT *, greatest(least(t0s, t1s), 0.0) AS tlo,
+                least(greatest(t0s, t1s), 1.0) AS thi
+      FROM (
+        SELECT *, (CAST(r AS DOUBLE) - y0) / dy AS t0s,
+                  (CAST(r AS DOUBLE) + 1 - y0) / dy AS t1s
+        FROM scrows) t) u
+    WHERE thi >= tlo) v),
+sccols AS (
+  SELECT tile_id, label_id, r,
+         CASE WHEN clo = chi AND clo = floor(clo)
+              THEN CAST(floor(clo) AS BIGINT) - 1
+              ELSE greatest(CAST(floor(clo) AS BIGINT), 0) END AS cc0,
+         CASE WHEN clo = chi AND clo = floor(clo)
+              THEN CAST(floor(clo) AS BIGINT)
+              ELSE least(CAST(CASE WHEN chi = floor(chi) AND floor(chi) > floor(clo)
+                                   THEN floor(chi) - 1
+                                   ELSE floor(chi) END AS BIGINT), 99) END AS cc1
+  FROM sclip),
+coverpix AS (
+  SELECT tile_id, label_id, r, c
+  FROM (SELECT tile_id, label_id, r, unnest(generate_series(cc0, cc1)) AS c
+        FROM sccols WHERE cc1 >= cc0) w
+  WHERE c >= 0 AND c <= 99),
+pix AS (
+  SELECT DISTINCT tile_id, label_id, r, c FROM (
+    SELECT * FROM fillpix UNION ALL SELECT * FROM coverpix) z),
+stats AS (
+  SELECT tile_id, label_id, count(*) AS area,
+         min(c) AS bx, min(r) AS br,
+         max(c) - min(c) + 1 AS bw, max(r) - min(r) + 1 AS bh
+  FROM pix GROUP BY tile_id, label_id),
+flatpix AS (SELECT tile_id, label_id, c * 100 + r AS f FROM pix),
+marked AS (
+  SELECT *, CASE WHEN f - lag(f) OVER (PARTITION BY tile_id, label_id ORDER BY f) = 1
+                 THEN 0 ELSE 1 END AS isstart
+  FROM flatpix),
+runsx AS (
+  SELECT *, sum(isstart) OVER (PARTITION BY tile_id, label_id ORDER BY f) AS kk
+  FROM marked),
+rsum AS (
+  SELECT tile_id, label_id, kk, min(f) AS rstart, count(*) AS rlen
+  FROM runsx GROUP BY tile_id, label_id, kk),
+rr AS (
+  SELECT *, lag(rstart + rlen) OVER (PARTITION BY tile_id, label_id ORDER BY kk) AS pend
+  FROM rsum),
+rlast AS (
+  SELECT tile_id, label_id, max(kk) AS maxkk, max_by(rstart + rlen, kk) AS lastend
+  FROM rsum GROUP BY tile_id, label_id),
+cnt AS (
+  SELECT tile_id, label_id, CAST(2 * (kk - 1) AS BIGINT) AS idx,
+         CAST(CASE WHEN kk = 1 THEN rstart ELSE rstart - pend END AS BIGINT) AS val
+  FROM rr
+  UNION ALL
+  SELECT tile_id, label_id, CAST(2 * kk - 1 AS BIGINT), CAST(rlen AS BIGINT) FROM rr
+  UNION ALL
+  SELECT tile_id, label_id, CAST(2 * maxkk AS BIGINT), CAST(10000 - lastend AS BIGINT)
+  FROM rlast WHERE 10000 - lastend > 0
+  UNION ALL
+  SELECT p.tile_id, p.label_id, CAST(0 AS BIGINT), CAST(10000 AS BIGINT)
+  FROM pairs p LEFT JOIN stats s2
+    ON s2.tile_id = p.tile_id AND s2.label_id = p.label_id
+  WHERE s2.tile_id IS NULL),
+cntd AS (
+  SELECT *, CASE WHEN idx > 2
+                 THEN val - lag(val, 2) OVER (PARTITION BY tile_id, label_id ORDER BY idx)
+                 ELSE val END AS dval
+  FROM cnt),
+encx AS (
+  SELECT *,
+         {vc}
+  FROM cntd),
+strs AS (
+  SELECT tile_id, label_id,
+         string_agg({_varint_str("vs")}, '' ORDER BY idx) AS rle_counts
+  FROM encx GROUP BY tile_id, label_id)
+SELECT p.tile_id, p.label_id,
+       CAST(row_number() OVER (ORDER BY p.ti, p.tj, p.label_id) AS BIGINT) AS ann_id,
+       CAST(COALESCE(s.area, 0) AS BIGINT) AS area,
+       COALESCE(CAST(s.bx AS VARCHAR) || ',' || CAST(s.br AS VARCHAR) || ',' ||
+                CAST(s.bw AS VARCHAR) || ',' || CAST(s.bh AS VARCHAR), '0,0,0,0') AS bbox,
+       st.rle_counts
+FROM pairs p
+LEFT JOIN stats s ON s.tile_id = p.tile_id AND s.label_id = p.label_id
+JOIN strs st ON st.tile_id = p.tile_id AND st.label_id = p.label_id
+"""
 
 
 def _spatial_join_star_oracle_sql() -> str:
@@ -1812,6 +2060,7 @@ SELECT tile_id, label_id, ann_id,
 FROM anns
 """,
         "q_coco_rle": _coco_rle_oracle_sql(),
+        "q_coco_stars": _coco_stars_oracle_sql(),
         "q_spatial_join_star": _spatial_join_star_oracle_sql(),
         "q_knn_star": _knn_star_oracle_sql(),
         "q_knn_escalate": _knn_escalate_oracle_sql(),

@@ -112,6 +112,7 @@ def main() -> None:
         "q_ann_lsh",
         "q_coco_boxes",
         "q_coco_rle",
+        "q_coco_stars",
         "q_spatial_join_star",
         "q_events_window",
     ]
