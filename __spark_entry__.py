@@ -984,6 +984,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.split(F.col("stats"), r"\|")[2].alias("rle_counts"),
         )
 
+    def q_coco_multistars(spark, sf_dir):
+        # MULTI-RING even-odd through the real rasterizer: two
+        # overlapping sub-stars per label (sub-star j centered at
+        # (px + 0.35s*j, py - 0.35s*j)) — where they overlap, even-odd
+        # parity carves HOLES, and the supercover still outlines both
+        # boundaries; the SQL oracle is the same from-scratch
+        # fill/supercover/varint implementation over all 16 edges
+        # (flattened-ring crossing parity == per-ring XOR). Pins the
+        # engine's MultiPolygon/hole mask semantics
+        # (wkb.decode_rings flattening) hash-exact, beyond q_coco_stars'
+        # single rings.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        from geococo_spark.geometry import rasterize, rle
+        from geococo_spark.operators import spatial_join
+
+        stars = _t(spark, sf_dir, "customer").selectExpr(
+            "c_custkey AS label_id",
+            f"CAST({_PX} AS DOUBLE) AS px",
+            f"CAST({_PY} AS DOUBLE) AS py",
+            f"CAST({_S} AS DOUBLE) AS s",
+        ).selectExpr(
+            "label_id", "px", "py", "s",
+            "px - s AS label_minx",
+            "py - (0.35 * s) - s AS label_miny",
+            "px + (0.35 * s) + s AS label_maxx",
+            "py + s AS label_maxy",
+        )
+        pairs = spatial_join.spatial_join(
+            _tiles_grid(spark),
+            stars,
+            cell_size=100.0,
+            label_id="label_id",
+            exact=False,
+            geometry="label_id",  # unused in bbox-only mode
+        )
+
+        @pandas_udf(StringType())
+        def _multistar_mask_stats(pxs, pys, ss, tminx, tmaxy):
+            dx = np.array([1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35])
+            dy = np.array([0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35])
+            out = []
+            for cx, cy, s, tc, tf in zip(pxs, pys, ss, tminx, tmaxy):
+                rings = []
+                for j in (0.0, 1.0):
+                    cxj = cx + (0.35 * s) * j
+                    cyj = cy - (0.35 * s) * j
+                    xs = cxj + s * dx
+                    ys = cyj + s * dy
+                    rings.append(
+                        np.column_stack([np.append(xs, xs[0]), np.append(ys, ys[0])])
+                    )
+                mask = rasterize.rasterize_all_touched(
+                    rings, (1.0, 0.0, float(tc), 0.0, -1.0, float(tf)), (100, 100)
+                )
+                bb = rasterize.bounding_rect(mask)
+                scols, srows = np.nonzero(mask.T)
+                flat = scols.astype(np.int64) * 100 + srows
+                enc = rle.encode_from_indices(flat, 100, 100)
+                out.append(
+                    f"{int(mask.sum())}|{bb[0]},{bb[1]},{bb[2]},{bb[3]}|"
+                    f"{enc['counts'].decode('ascii')}"
+                )
+            return pd.Series(out)
+
+        stats = pairs.withColumn(
+            "stats", _multistar_mask_stats("px", "py", "s", "tile_minx", "tile_maxy")
+        )
+        anns = ids.assign_sequential_ids(stats, ["ti", "tj", "label_id"], "ann_id")
+        return anns.select(
+            "tile_id",
+            "label_id",
+            "ann_id",
+            F.split(F.col("stats"), r"\|")[0].cast("long").alias("area"),
+            F.split(F.col("stats"), r"\|")[1].alias("bbox"),
+            F.split(F.col("stats"), r"\|")[2].alias("rle_counts"),
+        )
+
     def q_coco_pipeline(spark, sf_dir):
         return entry(spark)
 
@@ -1028,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coco_boxes": q_coco_boxes,
         "q_coco_rle": q_coco_rle,
         "q_coco_stars": q_coco_stars,
+        "q_coco_multistars": q_coco_multistars,
         "q_coco_pipeline": q_coco_pipeline,
     }
 
@@ -1344,7 +1426,7 @@ _STAR_DX = "[1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35]"
 _STAR_DY = "[0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35]"
 
 
-def _coco_stars_oracle_sql() -> str:
+def _coco_stars_oracle_sql(multi: bool = False) -> str:
     """all_touched area + bbox + COCO RLE bytes of CONCAVE star polygons
     in SQL — a from-scratch re-implementation of the engine's rasterizer
     semantics (rasterize.py): scanline fill (strict even-odd crossings
@@ -1364,6 +1446,27 @@ def _coco_stars_oracle_sql() -> str:
     varint(10000), exactly like the kernel's empty-mask annotations
     would encode a zero mask."""
     vc = ",\n         ".join(_varint_cols("dval", "vs"))
+    if multi:
+        # two overlapping sub-stars per label (even-odd holes where they
+        # overlap): sub-star j at center (px + 0.35s*j, py - 0.35s*j)
+        bmaxx = "st.px + (0.35 * st.s) + st.s"
+        bminy = "st.py - (0.35 * st.s) - st.s"
+        off = "(0.35 * p.s) * CAST(e.k // 8 AS DOUBLE)"
+        edges_body = f"""  SELECT p.tile_id, p.label_id, e.k,
+         ((p.px + {off}) + p.s * ({_STAR_DX})[e.k % 8 + 1]) - p.tile_minx AS x0,
+         (((p.py - {off}) + p.s * ({_STAR_DY})[e.k % 8 + 1]) - p.tile_maxy) / (-1.0) AS y0,
+         ((p.px + {off}) + p.s * ({_STAR_DX})[((e.k % 8) + 1) % 8 + 1]) - p.tile_minx AS x1,
+         (((p.py - {off}) + p.s * ({_STAR_DY})[((e.k % 8) + 1) % 8 + 1]) - p.tile_maxy) / (-1.0) AS y1
+  FROM pairs p, (SELECT unnest(generate_series(0, 15)) AS k) e"""
+    else:
+        bmaxx = "st.px + st.s"
+        bminy = "st.py - st.s"
+        edges_body = f"""  SELECT p.tile_id, p.label_id, e.k,
+         (p.px + p.s * ({_STAR_DX})[e.k + 1]) - p.tile_minx AS x0,
+         ((p.py + p.s * ({_STAR_DY})[e.k + 1]) - p.tile_maxy) / (-1.0) AS y0,
+         (p.px + p.s * ({_STAR_DX})[(e.k + 1) % 8 + 1]) - p.tile_minx AS x1,
+         ((p.py + p.s * ({_STAR_DY})[(e.k + 1) % 8 + 1]) - p.tile_maxy) / (-1.0) AS y1
+  FROM pairs p, (SELECT unnest(generate_series(0, 7)) AS k) e"""
     return f"""
 WITH tiles AS ({_TILES_SQL}),
 stars AS (
@@ -1376,15 +1479,10 @@ pairs AS (
   SELECT t.tile_id, t.ti, t.tj, t.tile_minx, t.tile_miny, t.tile_maxx, t.tile_maxy,
          st.label_id, st.px, st.py, st.s
   FROM tiles t JOIN stars st
-    ON t.tile_minx <= st.px + st.s AND t.tile_maxx >= st.px - st.s
-   AND t.tile_miny <= st.py + st.s AND t.tile_maxy >= st.py - st.s),
+    ON t.tile_minx <= {bmaxx} AND t.tile_maxx >= st.px - st.s
+   AND t.tile_miny <= st.py + st.s AND t.tile_maxy >= {bminy}),
 edges AS (
-  SELECT p.tile_id, p.label_id, e.k,
-         (p.px + p.s * ({_STAR_DX})[e.k + 1]) - p.tile_minx AS x0,
-         ((p.py + p.s * ({_STAR_DY})[e.k + 1]) - p.tile_maxy) / (-1.0) AS y0,
-         (p.px + p.s * ({_STAR_DX})[(e.k + 1) % 8 + 1]) - p.tile_minx AS x1,
-         ((p.py + p.s * ({_STAR_DY})[(e.k + 1) % 8 + 1]) - p.tile_maxy) / (-1.0) AS y1
-  FROM pairs p, (SELECT unnest(generate_series(0, 7)) AS k) e),
+{edges_body}),
 ed AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM edges),
 crows AS (
   SELECT *, unnest(generate_series(
@@ -2061,6 +2159,7 @@ FROM anns
 """,
         "q_coco_rle": _coco_rle_oracle_sql(),
         "q_coco_stars": _coco_stars_oracle_sql(),
+        "q_coco_multistars": _coco_stars_oracle_sql(multi=True),
         "q_spatial_join_star": _spatial_join_star_oracle_sql(),
         "q_knn_star": _knn_star_oracle_sql(),
         "q_knn_escalate": _knn_escalate_oracle_sql(),

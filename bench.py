@@ -113,6 +113,7 @@ def main() -> None:
         "q_coco_boxes",
         "q_coco_rle",
         "q_coco_stars",
+        "q_coco_multistars",
         "q_spatial_join_star",
         "q_events_window",
     ]
