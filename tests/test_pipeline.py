@@ -359,6 +359,50 @@ class TestKernelScaleShape:
         assert m, plan[:2000]
         assert f"hashpartitioning(image_id#{m.group(1)}" not in plan
 
+    def test_bucketed_images_input(self, spark, tmp_path):
+        """The 100 TB-native input shape: an images store written
+        ``bucketBy(image_id)`` plus
+        ``spark.sql.requireAllClusterKeysForCoPartition=false`` lets the
+        cogroup read the buckets IN PLACE — the image bytes never enter
+        an exchange (plan-level assert) and the output stays
+        byte-identical. Locally this is NOT faster (A/B/A/B at 512
+        images: 15.1/17.1 s bucketed vs 14.8/15.6 s parquet — local
+        shuffles are page-cache-cheap and buckets cap scan parallelism),
+        the same verdict as the broadcast kernel-input mode; on a real
+        fabric the elided exchange is the images table's entire network
+        cost per append."""
+        import re
+
+        base = _state_snapshot(self._run(spark))
+        images = datagen.images_df(spark, 2)
+        spark.sql("DROP TABLE IF EXISTS _test_img_bucketed")
+        (
+            images.write.bucketBy(4, "image_id").sortBy("image_id")
+            .mode("overwrite")
+            .option("path", str(tmp_path / "bucketed_imgs"))
+            .saveAsTable("_test_img_bucketed")
+        )
+        old = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        try:
+            state = pipeline.append_dataset(
+                spark, CocoState.create(spark),
+                spark.table("_test_img_bucketed"), datagen.labels_df(spark),
+                images_dir="d", window_bounds=[(100, 100), (256, 256)],
+                id_attribute="category_id", name_attribute="class_names",
+            )
+            assert _state_snapshot(state) == base
+            plan = state.annotations._jdf.queryExecution().executedPlan().toString()
+            m = re.search(r"FlatMapCoGroupsInPandas \[image_id#(\d+)", plan)
+            assert m, plan[:2000]
+            # the images-side cogroup key must not feed ANY exchange —
+            # the bucketed scan IS the partitioning
+            assert f"hashpartitioning(image_id#{m.group(1)}" not in plan
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old)
+            spark.sql("DROP TABLE IF EXISTS _test_img_bucketed")
+
     def test_decode_cache_lru_and_hits(self):
         """Per-worker decode cache: content-keyed hits, byte-budgeted LRU
         eviction, and frozen (read-only) cached arrays."""
