@@ -294,6 +294,66 @@ class TestSqlExactMode:
         brute = pairs(spatial_join.spatial_join_brute_force(tiles, labels))
         assert got == brute
 
+    def test_sql_expr_matches_python_predicate_randomized(self, spark):
+        """Expression-level parity: evaluate _sql_exact_expr on random
+        jagged polygons x random boxes (incl. gridline-aligned box edges
+        and degenerate slivers) and compare every row against
+        predicates.box_intersects_polygon."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from geococo_spark.geometry import predicates
+        from geococo_spark.operators.spatial_join import _geom_arrays, _sql_exact_expr
+
+        rng = np.random.RandomState(41)
+        rows, truth = [], []
+        rings_store = []
+        for i in range(40):
+            n = rng.randint(3, 9)
+            pts = rng.rand(n, 2) * 20
+            if rng.rand() < 0.3:
+                pts = np.round(pts)  # vertices exactly on grid corners
+            ring = np.vstack([pts, pts[:1]])
+            rings_store.append([ring])
+            geometry = wkb.encode_polygon([ring])
+            for j in range(6):
+                bx = rng.rand() * 20
+                by = rng.rand() * 20
+                w = rng.rand() * 8
+                h = rng.rand() * 8
+                if rng.rand() < 0.3:
+                    bx, by = round(bx), round(by)
+                expected = predicates.box_intersects_polygon(
+                    bx, by, bx + w, by + h, [ring]
+                )
+                allp = ring
+                rows.append(
+                    Row(
+                        rid=len(rows),
+                        geometry=bytearray(geometry),
+                        tile_minx=float(bx), tile_miny=float(by),
+                        tile_maxx=float(bx + w), tile_maxy=float(by + h),
+                        label_minx=float(allp[:, 0].min()),
+                        label_miny=float(allp[:, 1].min()),
+                        label_maxx=float(allp[:, 0].max()),
+                        label_maxy=float(allp[:, 1].max()),
+                    )
+                )
+                truth.append(bool(expected))
+        df = (
+            spark.createDataFrame(rows)
+            .withColumn("_ga", _geom_arrays(F.col("geometry")))
+            .withColumn("_gx", F.col("_ga.xs"))
+            .withColumn("_gy", F.col("_ga.ys"))
+            .withColumn("_gr", F.col("_ga.rid"))
+            .withColumn("got", _sql_exact_expr())
+        )
+        got = {r.rid: r.got for r in df.select("rid", "got").collect()}
+        mism = [i for i in range(len(truth)) if bool(got[i]) != truth[i]]
+        assert not mism, f"{len(mism)} mismatches, first: {mism[:5]}"
+        # both outcomes must occur or the test proves nothing
+        assert any(truth) and not all(truth)
+
 
 class TestRefpointDedupe:
     """The reference-point filter must produce exactly the dropDuplicates
