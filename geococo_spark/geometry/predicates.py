@@ -313,6 +313,165 @@ def _point_segment_dist2(
     return (px - cx) ** 2 + (py - cy) ** 2
 
 
+def _flat_gather(starts: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """CSR expansion: flat source indices covering ``counts[i]`` items from
+    ``starts[i]`` for every i, plus the output start offsets (for reduceat).
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    out_starts = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        np.cumsum(counts[:-1], out=out_starts[1:])
+    total = int(counts.sum())
+    flat = np.repeat(np.asarray(starts, dtype=np.int64) - out_starts, counts)
+    flat += np.arange(total, dtype=np.int64)
+    return flat, out_starts
+
+
+def polygon_box_distance_batch(
+    pts: np.ndarray,
+    ring_starts: np.ndarray,
+    label_ring_starts: np.ndarray,
+    geom_idx: np.ndarray,
+    bminx: np.ndarray,
+    bminy: np.ndarray,
+    bmaxx: np.ndarray,
+    bmaxy: np.ndarray,
+) -> np.ndarray:
+    """Batched :func:`polygon_box_distance` over MANY (geometry, box) pairs.
+
+    Inputs are the CSR layout from ``wkb.decode_batch`` (``pts``,
+    ``ring_starts``, ``label_ring_starts``) plus, per pair, an index into
+    the decoded geometries (``geom_idx``) and the box bounds. Replaces the
+    kNN fallback's per-row Python loop (VERDICT r05 #2) — all arithmetic
+    uses the exact formulas of the scalar path (Liang-Barsky clip,
+    even-odd crossing parity, vertex-clip / corner-to-edge distances), so
+    results are bit-identical; only the iteration is flattened:
+    per-(pair, edge) and per-(pair, vertex) rows expanded via CSR gather
+    and reduced with ``reduceat``. Float min is order-independent, so the
+    reduction order change cannot perturb values.
+    """
+    geom_idx = np.asarray(geom_idx, dtype=np.int64)
+    P = len(geom_idx)
+    out = np.zeros(P, dtype=np.float64)
+    if P == 0:
+        return out
+    bminx = np.asarray(bminx, dtype=np.float64)
+    bminy = np.asarray(bminy, dtype=np.float64)
+    bmaxx = np.asarray(bmaxx, dtype=np.float64)
+    bmaxy = np.asarray(bmaxy, dtype=np.float64)
+
+    # per-geometry CSR views
+    g_pt_starts = ring_starts[label_ring_starts]  # (L+1,) point offsets per geometry
+    g_npts = np.diff(g_pt_starts)
+    g_nrings = np.diff(label_ring_starts)
+    if (g_npts == 0).any():
+        raise ValueError("polygon_box_distance_batch: empty geometry")
+    # geometry bboxes (min/max over each geometry's vertex range)
+    px_all, py_all = pts[:, 0], pts[:, 1]
+    gminx = np.minimum.reduceat(px_all, g_pt_starts[:-1])
+    gmaxx = np.maximum.reduceat(px_all, g_pt_starts[:-1])
+    gminy = np.minimum.reduceat(py_all, g_pt_starts[:-1])
+    gmaxy = np.maximum.reduceat(py_all, g_pt_starts[:-1])
+
+    # edge list: every in-ring consecutive pair (rings are stored closed,
+    # so this covers each ring's full boundary, as in point_in_rings)
+    edge_mask = np.ones(len(pts), dtype=bool)
+    edge_mask[ring_starts[1:] - 1] = False
+    edge_idx = np.nonzero(edge_mask)[0]
+    e_x0, e_y0 = px_all[edge_idx], py_all[edge_idx]
+    e_x1, e_y1 = px_all[edge_idx + 1], py_all[edge_idx + 1]
+    g_nedges = g_npts - g_nrings
+    g_edge_starts = np.zeros(len(g_nedges), dtype=np.int64)
+    if len(g_nedges) > 1:
+        np.cumsum(g_nedges[:-1], out=g_edge_starts[1:])
+
+    g = geom_idx
+    overlap = ~(
+        (gminx[g] > bmaxx) | (gmaxx[g] < bminx) | (gminy[g] > bmaxy) | (gmaxy[g] < bminy)
+    )
+    intersects = np.zeros(P, dtype=bool)
+    po = np.nonzero(overlap)[0]
+    if len(po):
+        pg = g[po]
+        ecnt = g_nedges[pg]
+        e_flat, e_out = _flat_gather(g_edge_starts[pg], ecnt)
+        pe = np.repeat(np.arange(len(po), dtype=np.int64), ecnt)
+        x0, y0 = e_x0[e_flat], e_y0[e_flat]
+        x1, y1 = e_x1[e_flat], e_y1[e_flat]
+        bmx, bmy = bminx[po][pe], bminy[po][pe]
+        bMx, bMy = bmaxx[po][pe], bmaxy[po][pe]
+        # Liang-Barsky segment-vs-box (same update order as the scalar path)
+        dx = x1 - x0
+        dy = y1 - y0
+        t0 = np.zeros_like(x0)
+        t1 = np.ones_like(x0)
+        ok = np.ones(x0.shape, dtype=bool)
+        for p, q in ((-dx, x0 - bmx), (dx, bMx - x0), (-dy, y0 - bmy), (dy, bMy - y0)):
+            parallel = p == 0
+            ok &= ~(parallel & (q < 0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(parallel, 0.0, q / np.where(parallel, 1.0, p))
+            ent = (~parallel) & (p < 0)
+            exi = (~parallel) & (p > 0)
+            t0 = np.where(ent, np.maximum(t0, r), t0)
+            t1 = np.where(exi, np.minimum(t1, r), t1)
+        ok &= t0 <= t1
+        seg_hit = np.logical_or.reduceat(ok, e_out)
+        # box min-corner in polygon: even-odd crossing parity over ALL
+        # rings (XOR of per-ring parities == parity of the total count)
+        cpx, cpy = bminx[po][pe], bminy[po][pe]
+        cond = (y0 > cpy) != (y1 > cpy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (cpy - y0) * (x1 - x0) / (y1 - y0)
+        ncross = np.add.reduceat((cond & (cpx < xint)).astype(np.int64), e_out)
+        corner_in = (ncross % 2).astype(bool)
+        # first vertex of the first ring inside the box
+        v0x = px_all[g_pt_starts[:-1]][pg]
+        v0y = py_all[g_pt_starts[:-1]][pg]
+        v0_in = (bminx[po] <= v0x) & (v0x <= bmaxx[po]) & (bminy[po] <= v0y) & (v0y <= bmaxy[po])
+        intersects[po] = seg_hit | corner_in | v0_in
+
+    pd_ = np.nonzero(~intersects)[0]
+    if len(pd_) == 0:
+        return out
+    gd = g[pd_]
+    # (a) polygon vertices clipped to the box
+    vcnt = g_npts[gd]
+    v_flat, v_out = _flat_gather(g_pt_starts[:-1][gd], vcnt)
+    pv = np.repeat(np.arange(len(pd_), dtype=np.int64), vcnt)
+    vx, vy = px_all[v_flat], py_all[v_flat]
+    cx = np.clip(vx, bminx[pd_][pv], bmaxx[pd_][pv])
+    cy = np.clip(vy, bminy[pd_][pv], bmaxy[pd_][pv])
+    d2 = np.minimum.reduceat((vx - cx) ** 2 + (vy - cy) ** 2, v_out)
+    # (b) the four box corners against every polygon edge
+    ecnt = g_nedges[gd]
+    e_flat, e_out = _flat_gather(g_edge_starts[gd], ecnt)
+    pe = np.repeat(np.arange(len(pd_), dtype=np.int64), ecnt)
+    x0, y0 = e_x0[e_flat], e_y0[e_flat]
+    dx = e_x1[e_flat] - x0
+    dy = e_y1[e_flat] - y0
+    len2 = dx * dx + dy * dy
+    pos = len2 > 0
+    safe = np.where(pos, len2, 1.0)
+    for corner_x, corner_y in (
+        (bminx, bminy),
+        (bminx, bmaxy),
+        (bmaxx, bminy),
+        (bmaxx, bmaxy),
+    ):
+        cpx = corner_x[pd_][pe]
+        cpy = corner_y[pd_][pe]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(pos, ((cpx - x0) * dx + (cpy - y0) * dy) / safe, 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        qx = x0 + t * dx
+        qy = y0 + t * dy
+        d2c = np.minimum.reduceat((cpx - qx) ** 2 + (cpy - qy) ** 2, e_out)
+        d2 = np.minimum(d2, d2c)
+    out[pd_] = np.sqrt(d2)
+    return out
+
+
 def polygon_box_distance(
     rings: list[np.ndarray], bminx: float, bminy: float, bmaxx: float, bmaxy: float
 ) -> float:

@@ -30,18 +30,25 @@ from geococo_spark.operators import cells
 def _poly_box_distance(
     geom: pd.Series, minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
 ) -> pd.Series:
-    out = []
-    cache: dict[bytes, list] = {}
-    for g, mnx, mny, mxx, mxy in zip(geom, minx, miny, maxx, maxy):
-        g = bytes(g)
-        rings = cache.get(g)
-        if rings is None:
-            rings = wkb.decode_rings(g)
-            cache[g] = rings
-        out.append(
-            predicates.polygon_box_distance(rings, float(mnx), float(mny), float(mxx), float(mxy))
-        )
-    return pd.Series(out)
+    # CSR-batched: each distinct WKB buffer is decoded ONCE per Arrow
+    # batch (labels repeat per candidate tile), then every (label, box)
+    # pair is scored in one flat numpy pass (VERDICT r05 #2 — this was
+    # the engine's last per-row Python loop in a hot operator).
+    if len(geom) == 0:
+        return pd.Series([], dtype="float64")
+    codes, uniques = pd.factorize(geom.map(bytes), sort=False)
+    pts, ring_starts, label_ring_starts, _ = wkb.decode_batch(list(uniques))
+    dist = predicates.polygon_box_distance_batch(
+        pts,
+        ring_starts,
+        label_ring_starts,
+        codes,
+        minx.to_numpy(dtype="float64"),
+        miny.to_numpy(dtype="float64"),
+        maxx.to_numpy(dtype="float64"),
+        maxy.to_numpy(dtype="float64"),
+    )
+    return pd.Series(dist)
 
 
 def knn_assign(
