@@ -37,6 +37,41 @@ _EPY = "3200 - ((c_custkey * 104729) % 12800)"
 CELL_STRIDE = 2097152  # geococo_spark.operators.cells.CELL_STRIDE
 
 
+def _hash60_spark(s: str) -> str:
+    """Spark SQL text for the engine-portable 60-bit md5 hash
+    (geococo_spark.operators.dedup.portable_hash60)."""
+    return f"CAST(CONV(SUBSTRING(MD5({s}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _hash60_duck(s: str) -> str:
+    """DuckDB text for the same 60-bit md5 hash — identical integers."""
+    return f"CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _hashstar_exprs(salt: str, extent_cells: int, hash60) -> dict[str, str]:
+    """Hash-scattered star-label parameters as SQL text (VERDICT r05 #4:
+    md5-derived pseudo-random fixtures replace numpy RandomState so the
+    DuckDB oracle reproduces them bit-exactly).
+
+    px/py land in [5, extent_cells*100 - 5) on a 0.01 grid, s in
+    [1, 8) on a 1/256 grid, and the star inner ratio t in
+    [0.125, 0.5) on a 1/256 grid (dyadic-exact, like the fixed 0.35
+    stars). Every derivation is integer modulo + one exact int->double
+    cast + one correctly-rounded division, so Spark and DuckDB produce
+    bit-identical doubles.
+    """
+    def h(field: str) -> str:
+        return hash60(f"concat('{salt}:{field}:', CAST(c_custkey AS STRING))")
+
+    m = extent_cells * 10000 - 1000
+    return {
+        "px": f"CAST({h('px')} % {m} AS DOUBLE) / 100.0 + 5.0",
+        "py": f"-(CAST({h('py')} % {m} AS DOUBLE) / 100.0 + 5.0)",
+        "s": f"CAST({h('s')} % 1792 AS DOUBLE) / 256.0 + 1.0",
+        "t": f"CAST({h('t')} % 96 AS DOUBLE) / 256.0 + 0.125",
+    }
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -60,6 +95,57 @@ SELECT c_custkey AS label_id,
        CAST({_PY} + ({_S}) AS DOUBLE) AS label_maxy
 FROM customer
 """
+
+
+def _hash_star_labels(
+    spark: SparkSession, sf_dir: str, salt: str, extent_cells: int
+) -> DataFrame:
+    """Engine-side half of the hash-scattered star fixtures
+    (:func:`_hashstar_exprs`): one 8-vertex star per customer with
+    per-label concavity ``t``, as a LABELS-shaped DataFrame (bbox columns
+    + WKB geometry). The WKB vertices are ``center + s * {±1, ±t, 0}`` —
+    the same single-multiply-single-add the oracle SQL performs, so both
+    engines see bit-identical doubles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from geococo_spark.geometry import wkb as WKB
+
+    @pandas_udf(BinaryType())
+    def _star_wkb_t(px, py, s, t):
+        out = []
+        for x, y, sc, tt in zip(px, py, s, t):
+            dxs = (1.0, tt, 0.0, -tt, -1.0, -tt, 0.0, tt)
+            dys = (0.0, tt, 1.0, tt, 0.0, -tt, -1.0, -tt)
+            ring = np.array(
+                [[x + sc * dx, y + sc * dy] for dx, dy in zip(dxs, dys)]
+                + [[x + sc * dxs[0], y + sc * dys[0]]],
+                dtype=np.float64,
+            )
+            out.append(WKB.encode_polygon([ring]))
+        return pd.Series(out)
+
+    e = _hashstar_exprs(salt, extent_cells, _hash60_spark)
+    return (
+        _t(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_custkey AS label_id",
+            f"CAST({e['px']} AS DOUBLE) AS px",
+            f"CAST({e['py']} AS DOUBLE) AS py",
+            f"CAST({e['s']} AS DOUBLE) AS s",
+            f"CAST({e['t']} AS DOUBLE) AS t",
+        )
+        .select(
+            "label_id",
+            (F.col("px") - F.col("s")).alias("label_minx"),
+            (F.col("py") - F.col("s")).alias("label_miny"),
+            (F.col("px") + F.col("s")).alias("label_maxx"),
+            (F.col("py") + F.col("s")).alias("label_maxy"),
+            _star_wkb_t("px", "py", "s", "t").alias("geometry"),
+        )
+    )
 
 
 def _tiles_grid(spark: SparkSession) -> DataFrame:
@@ -520,15 +606,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             int_planes=True, seed=777,
         )
 
-    # ---- rows-only checks (geometry kernels / LSH — not SQL-expressible)
     def q_spatial_join_exact(spark, sf_dir):
+        # F1/J1 over hash-scattered VARIABLE-concavity stars (VERDICT r05
+        # #4): centers, scale, and the inner ratio t all derive from the
+        # portable 60-bit md5 hash, so the DuckDB oracle rebuilds the
+        # identical fixture (the numpy-RandomState labels this replaces
+        # were rows-only). Unlike q_spatial_join_star's fixed t=0.35,
+        # every label here has its own concavity — the exact predicate's
+        # edge-clip/corner-parity branches fire across the whole t range.
         from geococo_spark.operators import spatial_join
-        from geococo_spark.sources import datagen
 
-        labels = datagen.random_labels_df(spark, 300, extent=900.0, seed=4)
+        labels = _hash_star_labels(spark, sf_dir, salt="sjx", extent_cells=10)
         return spatial_join.spatial_join(
-            _tiles_grid(spark), labels, cell_size=100.0, label_id="label_idx"
-        ).select("tile_id", "label_idx")
+            _tiles_grid(spark), labels, cell_size=100.0, label_id="label_id"
+        ).select("tile_id", "label_id")
 
     def q_spatial_join_star(spark, sf_dir):
         # Round 5: the EXACT polygon intersects predicate (F1/J1's core,
@@ -648,12 +739,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_knn_fallback(spark, sf_dir):
+        # J5's FIXED-ring pass (knn_assign(escalate=False), the building
+        # block the escalation loop repeats) on hash-scattered stars over
+        # a 40x40-cell extent: only ~9% of labels have a tile within
+        # rings=2 of their centroid cell, so the unassigned-label drop
+        # path fires for the rest (VERDICT r05 #4 — md5-derived fixture
+        # replaces numpy RandomState; now oracle-exact, not rows-only).
         from geococo_spark.operators import knn
-        from geococo_spark.sources import datagen
 
-        labels = datagen.random_labels_df(spark, 100, extent=900.0, seed=5).withColumnRenamed(
-            "label_idx", "label_id"
-        )
+        labels = _hash_star_labels(spark, sf_dir, salt="knf", extent_cells=40)
         return knn.knn_assign(labels, _tiles_grid(spark), cell_size=100.0, k=1, rings=2).select(
             "label_id", "tile_id", F.round("knn_distance", 6).alias("knn_distance")
         )
@@ -1609,35 +1703,45 @@ JOIN strs st ON st.tile_id = p.tile_id AND st.label_id = p.label_id
 """
 
 
-def _spatial_join_star_oracle_sql() -> str:
+def _spatial_join_star_oracle_sql(
+    px_expr: str = _PX,
+    py_expr: str = _PY,
+    s_expr: str = _S,
+    t_expr: str | None = None,
+) -> str:
     """Exact intersects(tile box, concave star polygon) in SQL — a
     literal port of predicates.box_intersects_polygon: per-edge
     Liang-Barsky clipping (entering p<0 raises t0, exiting p>0 lowers
     t1, parallel-and-outside rejects), even-odd ray cast of the
     (tile_minx, tile_miny) corner, and the vertex0-in-box containment
-    case. Vertices are dyadic-exact (center +- s*{1,0.35,0}) so both
+    case. Vertices are dyadic-exact (center +- s*{1,t,0}; t=0.35 fixed
+    by default, per-label via ``t_expr`` for the hash fixtures) so both
     engines produce bit-identical doubles through identical IEEE ops."""
+    tcol = f",\n         CAST({t_expr} AS DOUBLE) AS t" if t_expr else ""
+    tpass = ", st.t" if t_expr else ""
+    dxl = "[1.0, t, 0.0, -t, -1.0, -t, 0.0, t]" if t_expr else _STAR_DX
+    dyl = "[0.0, t, 1.0, t, 0.0, -t, -1.0, -t]" if t_expr else _STAR_DY
     return f"""
 WITH tiles AS ({_TILES_SQL}),
 stars AS (
   SELECT c_custkey AS label_id,
-         CAST({_PX} AS DOUBLE) AS px,
-         CAST({_PY} AS DOUBLE) AS py,
-         CAST({_S} AS DOUBLE) AS s
+         CAST({px_expr} AS DOUBLE) AS px,
+         CAST({py_expr} AS DOUBLE) AS py,
+         CAST({s_expr} AS DOUBLE) AS s{tcol}
   FROM customer),
 pairs AS (
   SELECT t.tile_id, st.label_id,
          t.tile_minx, t.tile_miny, t.tile_maxx, t.tile_maxy,
-         st.px, st.py, st.s
+         st.px, st.py, st.s{tpass}
   FROM tiles t JOIN stars st
     ON t.tile_minx <= st.px + st.s AND t.tile_maxx >= st.px - st.s
    AND t.tile_miny <= st.py + st.s AND t.tile_maxy >= st.py - st.s),
 edges AS (
   SELECT p.*, e.k,
-         px + s * ({_STAR_DX})[e.k + 1] AS x0,
-         py + s * ({_STAR_DY})[e.k + 1] AS y0,
-         px + s * ({_STAR_DX})[(e.k + 1) % 8 + 1] AS x1,
-         py + s * ({_STAR_DY})[(e.k + 1) % 8 + 1] AS y1
+         px + s * ({dxl})[e.k + 1] AS x0,
+         py + s * ({dyl})[e.k + 1] AS y0,
+         px + s * ({dxl})[(e.k + 1) % 8 + 1] AS x1,
+         py + s * ({dyl})[(e.k + 1) % 8 + 1] AS y1
   FROM pairs p, (SELECT unnest(generate_series(0, 7)) AS k) e),
 lb AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM edges),
 clip AS (
@@ -1722,40 +1826,85 @@ FROM ranked WHERE rn = 1
 """
 
 
-def _star_scored_sql(px_expr: str, py_expr: str) -> str:
+def _knn_fallback_oracle_sql() -> str:
+    """knn.knn_assign(escalate=False, rings=2, k=1) in closed form over
+    the hash-scattered star fixture (VERDICT r05 #4): candidates are the
+    tiles whose 2x2 cell-cover block lies within Chebyshev distance 2 of
+    the label's centroid cell; within the candidate set, rank by the
+    exact UNROUNDED polygon-to-box distance with (distance, tile_id)
+    ties. Labels with no candidate produce no row — the fixed-ring
+    pass's drop semantics."""
+    e = _hashstar_exprs("knf", 40, _hash60_duck)
+    return f"""
+WITH {_star_scored_sql(e["px"], e["py"], s_expr=e["s"], t_expr=e["t"])},
+cand AS (SELECT label_id, tile_id, dist_raw FROM scored WHERE cheb <= 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label_id
+                               ORDER BY dist_raw ASC, tile_id ASC) AS rn
+  FROM cand)
+SELECT label_id, tile_id, round(dist_raw, 6) AS knn_distance
+FROM ranked WHERE rn = 1
+"""
+
+
+def _star_scored_sql(
+    px_expr: str,
+    py_expr: str,
+    s_expr: str = _S,
+    t_expr: str | None = None,
+) -> str:
     """Shared WITH-body (tiles ... scored): for every (star label, tile)
     pair, the exact polygon-to-box distance ``dist_raw`` (0.0 when
     intersecting — the literal port of predicates.polygon_box_distance
     proven bit-exact by q_knn_star) plus ``cheb``, the Chebyshev cell
     distance between the tile's 2x2 cell-cover block and the label's
     centroid cell at cell_size=100 (the candidate-neighborhood metric of
-    knn.knn_assign)."""
+    knn.knn_assign). With ``t_expr`` (hash fixtures) the star's inner
+    ratio is per-label and the centroid cell is computed from the bbox
+    midpoint exactly as cells.centroid_cell does —
+    floor((((px-s)+(px+s))/2)/100) — not from px directly, so the cell
+    arithmetic matches the engine bit-for-bit even when (px-s)+(px+s)
+    rounds away from 2*px."""
+    tcol = f",\n         CAST({t_expr} AS DOUBLE) AS t" if t_expr else ""
+    tpass = ", st.t" if t_expr else ""
+    dxl = "[1.0, t, 0.0, -t, -1.0, -t, 0.0, t]" if t_expr else _STAR_DX
+    dyl = "[0.0, t, 1.0, t, 0.0, -t, -1.0, -t]" if t_expr else _STAR_DY
+    ccx = (
+        "CAST(floor((((st.px - st.s) + (st.px + st.s)) / 2.0) / 100.0) AS BIGINT)"
+        if t_expr
+        else "CAST(floor(st.px / 100.0) AS BIGINT)"
+    )
+    ccy = (
+        "CAST(floor((((st.py - st.s) + (st.py + st.s)) / 2.0) / 100.0) AS BIGINT)"
+        if t_expr
+        else "CAST(floor(st.py / 100.0) AS BIGINT)"
+    )
     return f"""tiles AS ({_TILES_SQL}),
 stars AS (
   SELECT c_custkey AS label_id,
          CAST({px_expr} AS DOUBLE) AS px,
          CAST({py_expr} AS DOUBLE) AS py,
-         CAST({_S} AS DOUBLE) AS s
+         CAST({s_expr} AS DOUBLE) AS s{tcol}
   FROM customer),
 pairs AS (
   SELECT t.tile_id, st.label_id,
          t.tile_minx, t.tile_miny, t.tile_maxx, t.tile_maxy,
-         st.px, st.py, st.s,
+         st.px, st.py, st.s{tpass},
          (t.tile_minx <= st.px + st.s AND t.tile_maxx >= st.px - st.s
           AND t.tile_miny <= st.py + st.s AND t.tile_maxy >= st.py - st.s)
            AS bbox_ok,
          greatest(0,
-                  t.ti - CAST(floor(st.px / 100.0) AS BIGINT),
-                  CAST(floor(st.px / 100.0) AS BIGINT) - (t.ti + 1),
-                  -(t.tj + 1) - CAST(floor(st.py / 100.0) AS BIGINT),
-                  CAST(floor(st.py / 100.0) AS BIGINT) + t.tj) AS cheb
+                  t.ti - {ccx},
+                  {ccx} - (t.ti + 1),
+                  -(t.tj + 1) - {ccy},
+                  {ccy} + t.tj) AS cheb
   FROM tiles t CROSS JOIN stars st),
 edges AS (
   SELECT p.*, e.k, c.c,
-         px + s * ({_STAR_DX})[e.k + 1] AS x0,
-         py + s * ({_STAR_DY})[e.k + 1] AS y0,
-         px + s * ({_STAR_DX})[(e.k + 1) % 8 + 1] AS x1,
-         py + s * ({_STAR_DY})[(e.k + 1) % 8 + 1] AS y1,
+         px + s * ({dxl})[e.k + 1] AS x0,
+         py + s * ({dyl})[e.k + 1] AS y0,
+         px + s * ({dxl})[(e.k + 1) % 8 + 1] AS x1,
+         py + s * ({dyl})[(e.k + 1) % 8 + 1] AS y1,
          CASE WHEN c.c IN (0, 1) THEN tile_minx ELSE tile_maxx END AS ccx,
          CASE WHEN c.c IN (0, 2) THEN tile_miny ELSE tile_maxy END AS ccy
   FROM pairs p,
@@ -2161,6 +2310,13 @@ FROM anns
         "q_coco_stars": _coco_stars_oracle_sql(),
         "q_coco_multistars": _coco_stars_oracle_sql(multi=True),
         "q_spatial_join_star": _spatial_join_star_oracle_sql(),
+        "q_spatial_join_exact": _spatial_join_star_oracle_sql(
+            px_expr=_hashstar_exprs("sjx", 10, _hash60_duck)["px"],
+            py_expr=_hashstar_exprs("sjx", 10, _hash60_duck)["py"],
+            s_expr=_hashstar_exprs("sjx", 10, _hash60_duck)["s"],
+            t_expr=_hashstar_exprs("sjx", 10, _hash60_duck)["t"],
+        ),
         "q_knn_star": _knn_star_oracle_sql(),
         "q_knn_escalate": _knn_escalate_oracle_sql(),
+        "q_knn_fallback": _knn_fallback_oracle_sql(),
     }
