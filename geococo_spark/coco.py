@@ -140,14 +140,65 @@ class CocoState:
 
     # ---------- JSON sink/source (S6/S4) ----------
 
-    def to_json_file(self, path: str) -> None:
+    # single-file collect ceiling: ~5M annotation rows is ~2-4 GB of
+    # driver JSON — beyond it the contract API must shard (VERDICT r05 #5)
+    MAX_SINGLE_FILE_ANNOTATIONS = 5_000_000
+
+    def to_json_file(
+        self,
+        path: str,
+        shard_annotations_dir: str | None = None,
+        max_collect_rows: int | None = None,
+    ) -> None:
         """save_dataset equivalent (geococo/coco_manager.py:50-59).
 
         The dimension sections are small (images metadata, categories,
         sources); annotations can be large — for the single-file COCO
         contract they are collected here, while the scalable path keeps
         them as parquet/Iceberg tables (checkpoint.py).
+
+        Guard rails (VERDICT r05 #5 — a 10^12-row state must not OOM the
+        driver through the contract API): with more than
+        ``max_collect_rows`` annotations (default
+        :data:`MAX_SINGLE_FILE_ANNOTATIONS`) a plain call raises; pass
+        ``shard_annotations_dir`` to write the annotation section as
+        distributed JSON-lines shards (``df.write.json``) instead — the
+        main file then carries an ``annotation_shards`` manifest and an
+        empty ``annotations`` list, and :meth:`from_json_file` reads the
+        shards back transparently.
         """
+        limit = (
+            self.MAX_SINGLE_FILE_ANNOTATIONS if max_collect_rows is None else max_collect_rows
+        )
+        n_anns = self._known_count("annotations", self.annotations)
+        if shard_annotations_dir is None and n_anns > limit:
+            raise ValueError(
+                f"to_json_file: {n_anns} annotations exceed the single-file "
+                f"collect ceiling ({limit}); pass shard_annotations_dir= to "
+                "write the annotation section as distributed JSON shards, "
+                "or raise max_collect_rows explicitly"
+            )
+        if shard_annotations_dir is not None:
+            # COCO-JSON-shaped rows, written by the executors (no collect):
+            # one JSON object per line, schema identical to the inline
+            # section so shard consumers parse the same shape
+            (
+                self.annotations.orderBy("id")
+                .select(
+                    "id",
+                    "image_id",
+                    "category_id",
+                    F.struct(
+                        F.col("segmentation.size").alias("size"),
+                        F.decode(F.col("segmentation.counts"), "US-ASCII").alias("counts"),
+                    ).alias("segmentation"),
+                    "area",
+                    "bbox",
+                    "iscrowd",
+                )
+                .write.mode("overwrite")
+                .json(shard_annotations_dir)
+            )
         doc = {
             "info": self.info,
             "images": [
@@ -163,7 +214,9 @@ class CocoState:
                 }
                 for r in self.images.orderBy("id").collect()
             ],
-            "annotations": [
+            "annotations": []
+            if shard_annotations_dir is not None
+            else [
                 {
                     "id": r["id"],
                     "image_id": r["image_id"],
@@ -194,12 +247,24 @@ class CocoState:
                 for r in self.sources.orderBy("id").collect()
             ],
         }
+        if shard_annotations_dir is not None:
+            doc["annotation_shards"] = {
+                "dir": shard_annotations_dir,
+                "count": n_anns,
+                "format": "json-lines",
+            }
         with open(path, "w") as fh:
             json.dump(doc, fh)
 
     @classmethod
     def from_json_file(cls, spark: SparkSession, path: str) -> "CocoState":
-        """load_dataset equivalent (geococo/coco_manager.py:7-19)."""
+        """load_dataset equivalent (geococo/coco_manager.py:7-19).
+
+        Reads back both sink shapes: inline annotations, or the
+        ``annotation_shards`` manifest written by
+        ``to_json_file(shard_annotations_dir=...)`` — the shards load as
+        a distributed ``spark.read.json`` scan (never through the
+        driver)."""
         with open(path) as fh:
             doc = json.load(fh)
 
@@ -213,21 +278,49 @@ class CocoState:
             ],
             schemas.COCO_IMAGES,
         )
-        annotations = spark.createDataFrame(
-            [
-                (
-                    r["id"],
-                    r["image_id"],
-                    r["category_id"],
-                    (r["segmentation"]["size"], r["segmentation"]["counts"].encode("ascii")),
-                    r["area"],
-                    r["bbox"],
-                    r["iscrowd"],
+        shards = doc.get("annotation_shards")
+        if shards is not None:
+            ann_json_schema = (
+                "id BIGINT, image_id BIGINT, category_id INT, "
+                "segmentation STRUCT<size: ARRAY<INT>, counts: STRING>, "
+                "area DOUBLE, bbox ARRAY<INT>, iscrowd INT"
+            )
+            annotations = (
+                spark.read.schema(ann_json_schema)
+                .json(shards["dir"])
+                .select(
+                    "id",
+                    "image_id",
+                    "category_id",
+                    F.struct(
+                        F.col("segmentation.size").alias("size"),
+                        F.encode(F.col("segmentation.counts"), "US-ASCII").alias("counts"),
+                    ).alias("segmentation"),
+                    "area",
+                    "bbox",
+                    "iscrowd",
                 )
-                for r in doc.get("annotations", [])
-            ],
-            schemas.COCO_ANNOTATIONS,
-        )
+            )
+            n_shard_anns = (
+                int(shards["count"]) if "count" in shards else annotations.count()
+            )
+        else:
+            annotations = spark.createDataFrame(
+                [
+                    (
+                        r["id"],
+                        r["image_id"],
+                        r["category_id"],
+                        (r["segmentation"]["size"], r["segmentation"]["counts"].encode("ascii")),
+                        r["area"],
+                        r["bbox"],
+                        r["iscrowd"],
+                    )
+                    for r in doc.get("annotations", [])
+                ],
+                schemas.COCO_ANNOTATIONS,
+            )
+            n_shard_anns = None
         categories = spark.createDataFrame(
             [(r["id"], r["name"], r["supercategory"]) for r in doc.get("categories", [])],
             schemas.CATEGORIES,
@@ -240,7 +333,11 @@ class CocoState:
             images, annotations, categories, sources, doc.get("info", {}),
             cached_counts={
                 "images": len(doc.get("images", [])),
-                "annotations": len(doc.get("annotations", [])),
+                "annotations": (
+                    n_shard_anns
+                    if n_shard_anns is not None
+                    else len(doc.get("annotations", []))
+                ),
                 "sources": len(doc.get("sources", [])),
             },
         )

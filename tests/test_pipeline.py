@@ -655,6 +655,36 @@ class TestJsonRoundTrip:
         assert loaded.next_image_id() == 1
         assert loaded.next_source_id() == 0  # asymmetry (coco_models.py:28)
 
+    def test_sharded_annotations_roundtrip(self, spark, tmp_path, appended):
+        # VERDICT r05 #5: the distributed-shard escape hatch must round-
+        # trip identically to the inline path (same tables, same ids)
+        p = str(tmp_path / "coco_sharded.json")
+        shard_dir = str(tmp_path / "ann_shards")
+        appended.to_json_file(p, shard_annotations_dir=shard_dir)
+        import json as _json
+
+        with open(p) as fh:
+            doc = _json.load(fh)
+        assert doc["annotations"] == []  # nothing collected to the driver
+        assert doc["annotation_shards"]["dir"] == shard_dir
+        loaded = CocoState.from_json_file(spark, p)
+        assert loaded.info == appended.info
+        for attr in ("images", "annotations", "categories", "sources"):
+            a = sorted(map(str, getattr(appended, attr).collect()))
+            b = sorted(map(str, getattr(loaded, attr).collect()))
+            assert a == b, attr
+        assert loaded.next_annotation_id() == appended.next_annotation_id()
+
+    def test_single_file_guard_raises(self, spark, tmp_path, appended):
+        # beyond the collect ceiling, the plain contract call must refuse
+        # rather than OOM the driver; the shard path must still work
+        p = str(tmp_path / "guard.json")
+        with pytest.raises(ValueError, match="shard_annotations_dir"):
+            appended.to_json_file(p, max_collect_rows=1)
+        appended.to_json_file(
+            p, shard_annotations_dir=str(tmp_path / "sh"), max_collect_rows=1
+        )
+
 
 class TestVersionBump:
     def test_truth_table(self):
