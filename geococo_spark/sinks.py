@@ -73,6 +73,75 @@ def layout_tiles_zorder(
     return out.repartitionByRange(n, "z").sortWithinPartitions("z")
 
 
+_BUCKET_MANIFEST = "_bucket_manifest.json"
+
+
+def write_images_bucketed(
+    images: DataFrame,
+    path: str,
+    buckets: int | None = None,
+    table: str = "geococo_images_bucketed",
+) -> str:
+    """Write the images table as the PRODUCTION bucketed store
+    (VERDICT r05 #6): ``bucketBy(image_id)`` + in-bucket sort, so every
+    downstream append's kernel cogroup reads the buckets IN PLACE — the
+    image bytes (the dominant payload at 100 TB) never enter an
+    exchange (plan-proven by tests/test_pipeline.py::
+    test_bucketed_images_input). Locally this is NOT faster (local
+    shuffles are page-cache-cheap and buckets cap scan parallelism —
+    measured A/B in BENCH/BASELINE.md round 5); on a network fabric the
+    elided exchange is the images table's entire per-append network
+    cost. A ``_bucket_manifest.json`` (bucket count, column, schema DDL)
+    is dropped next to the files so :func:`read_images_bucketed` can
+    re-register the table in a fresh session. Returns the table name.
+    """
+    import json
+    import os
+
+    spark = images.sparkSession
+    n = buckets or spark.sparkContext.defaultParallelism
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        images.write.bucketBy(n, "image_id")
+        .sortBy("image_id")
+        .mode("overwrite")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in images.schema.fields)
+    with open(os.path.join(path, _BUCKET_MANIFEST), "w") as fh:
+        json.dump({"buckets": n, "bucket_col": "image_id", "table": table, "ddl": ddl}, fh)
+    return table
+
+
+def read_images_bucketed(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
+    """Open a bucketed images store written by :func:`write_images_bucketed`.
+
+    Re-registers the external bucketed table from the manifest when the
+    session catalog doesn't know it (bucket metadata lives in the
+    catalog, not the parquet files), and sets
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` so the
+    kernel cogroup (keyed ``(image_id, band)``) accepts the bucket
+    layout (clustered on the ``image_id`` prefix) without an exchange.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, _BUCKET_MANIFEST)) as fh:
+        manifest = json.load(fh)
+    table = table or manifest["table"]
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} ({manifest['ddl']}) USING parquet "
+            f"CLUSTERED BY ({manifest['bucket_col']}) "
+            f"SORTED BY ({manifest['bucket_col']}) "
+            f"INTO {manifest['buckets']} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    return spark.table(table)
+
+
 def read_table(spark: SparkSession, target: str, fmt: str | None = None) -> DataFrame:
     """Read a table written by :func:`write_table`."""
     use_iceberg = (

@@ -52,6 +52,17 @@ def main(argv: list[str] | None = None) -> None:
         "broadcast (thin pair arrays broadcast onto the images scan — "
         "image bytes never enter an exchange; the network-cluster shape)",
     )
+    ap.add_argument(
+        "--write-bucketed-images",
+        default=None,
+        metavar="DIR",
+        help="stage the input images into a bucketBy(image_id) store at "
+        "DIR and run the pipeline FROM that store: the kernel cogroup "
+        "then reads the buckets in place and the image bytes never "
+        "enter an exchange (the production layout on a network fabric; "
+        "see docs/PLANS.md). Later runs can consume the same store via "
+        "--images bucketed:DIR without restaging",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -66,8 +77,17 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.images.startswith("synthetic:"):
         images = datagen.images_df(spark, int(args.images.split(":")[1]))
+    elif args.images.startswith("bucketed:"):
+        from geococo_spark.sinks import read_images_bucketed
+
+        images = read_images_bucketed(spark, args.images.split(":", 1)[1])
     else:
         images = spark.read.parquet(args.images)
+    if args.write_bucketed_images:
+        from geococo_spark.sinks import read_images_bucketed, write_images_bucketed
+
+        write_images_bucketed(images, args.write_bucketed_images)
+        images = read_images_bucketed(spark, args.write_bucketed_images)
     if args.labels.startswith("synthetic:"):
         labels = datagen.random_labels_df(spark, int(args.labels.split(":")[1]))
     else:

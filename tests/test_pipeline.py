@@ -375,19 +375,22 @@ class TestKernelScaleShape:
 
         base = _state_snapshot(self._run(spark))
         images = datagen.images_df(spark, 2)
-        spark.sql("DROP TABLE IF EXISTS _test_img_bucketed")
-        (
-            images.write.bucketBy(4, "image_id").sortBy("image_id")
-            .mode("overwrite")
-            .option("path", str(tmp_path / "bucketed_imgs"))
-            .saveAsTable("_test_img_bucketed")
-        )
+        from geococo_spark import sinks
+
+        store = str(tmp_path / "bucketed_imgs")
         old = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
-        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
         try:
+            # the user-facing writer/reader pair (round 6: the store is a
+            # first-class sink, not a test-only construction)
+            table = sinks.write_images_bucketed(
+                images, store, buckets=4, table="_test_img_bucketed"
+            )
+            # drop from the catalog to force the manifest re-register path
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            bucketed = sinks.read_images_bucketed(spark, store)
             state = pipeline.append_dataset(
                 spark, CocoState.create(spark),
-                spark.table("_test_img_bucketed"), datagen.labels_df(spark),
+                bucketed, datagen.labels_df(spark),
                 images_dir="d", window_bounds=[(100, 100), (256, 256)],
                 id_attribute="category_id", name_attribute="class_names",
             )
