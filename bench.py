@@ -123,6 +123,14 @@ def main() -> None:
     spark.range(10_000).withColumn("g", (F.col("id") % 7)).groupBy("g").applyInPandas(
         lambda p: p, "id long, g long"
     ).count()
+    # ... and the broadcast-join + window plan families the headline
+    # queries lean on (round 6: the driver's r5 rep-1 readings charged
+    # q_spatial_join_bbox 2-4 s of first-plan cost that the in-window
+    # A/B showed is not steady-state)
+    from pyspark.sql.window import Window as _W
+
+    warm = spark.range(10_000).join(F.broadcast(spark.range(100)), "id", "left")
+    warm.withColumn("rn", F.row_number().over(_W.partitionBy("id").orderBy("id"))).count()
     # this box shows +-25% run-to-run variance; headline numbers are
     # the MEDIAN of n_reps with per-rep times recorded (VERDICT r02 #6)
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

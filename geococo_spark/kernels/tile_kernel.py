@@ -350,16 +350,37 @@ def run_tile_kernel(
     c1 = np.minimum(pc0a + shape_cols[lpos], p_co + p_w)
     ok = (r1 > r0) & (c1 > c0)  # F3 (no pixel overlap at all)
     P = np.nonzero(ok)[0]
-    cand_par, cand_pix = rasterize._expand_ranges(
-        lab_pix_start[lpos[P]], lab_pix_start[lpos[P] + 1] - lab_pix_start[lpos[P]]
+    # 4-byte candidate domain (round 6): the candidate expansion/filter
+    # is the kernel's dominant DRAM traffic and the kernel is 60-80%
+    # bandwidth-bound at 32 procs (tools/dram_roofline.py) — patch/tile
+    # coords and candidate indices all fit int32, halving every pass.
+    # Values are bounded: pixel positions < group set-pixel count,
+    # tile-space coords < tile dims, flat_idx < tile area. A pathological
+    # group beyond any of those bounds falls back to the int64 domain.
+    starts_p = lab_pix_start[lpos[P]]
+    counts_p = lab_pix_start[lpos[P] + 1] - starts_p
+    total_cand = int(counts_p.sum())
+    int32_ok = (
+        total_cand < 2**31
+        and len(pix_col) < 2**31
+        and (int((p_w * p_h).max()) < 2**31 if npairs else True)
     )
+    idx_t = np.int32 if int32_ok else np.int64
+    cand_par = np.repeat(np.arange(len(P), dtype=idx_t), counts_p)
+    offs = np.arange(total_cand, dtype=idx_t)
+    offs -= np.repeat((np.cumsum(counts_p) - counts_p).astype(idx_t), counts_p)
+    cand_pix = starts_p.astype(idx_t)[cand_par] + offs
     sel_cols = pix_col[cand_pix]
     sel_rows = pix_row[cand_pix]
+    lo_c = (c0 - pc0a)[P].astype(idx_t)
+    hi_c = (c1 - pc0a)[P].astype(idx_t)
+    lo_r = (r0 - pr0a)[P].astype(idx_t)
+    hi_r = (r1 - pr0a)[P].astype(idx_t)
     keep = (
-        (sel_cols >= (c0 - pc0a)[P][cand_par])
-        & (sel_cols < (c1 - pc0a)[P][cand_par])
-        & (sel_rows >= (r0 - pr0a)[P][cand_par])
-        & (sel_rows < (r1 - pr0a)[P][cand_par])
+        (sel_cols >= lo_c[cand_par])
+        & (sel_cols < hi_c[cand_par])
+        & (sel_rows >= lo_r[cand_par])
+        & (sel_rows < hi_r[cand_par])
     )
     cand_par = cand_par[keep]
     sel_cols = sel_cols[keep]
@@ -370,12 +391,15 @@ def run_tile_kernel(
     bump("masks_empty", int((~ok).sum()) + int((~emitted).sum()))
     bump("annotations_emitted", len(ann_pairs))
     if len(ann_pairs):
-        g_par = P[cand_par]  # global pair position per kept pixel
         # tile-space pixel coords (candidates stay (col,row)-sorted per
-        # pair, so the column-major RLE order is preserved)
-        tcol = sel_cols + pc0a[g_par] - p_co[g_par]
-        trow = sel_rows + pr0a[g_par] - p_ro[g_par]
-        flat_idx = tcol * p_h[g_par] + trow
+        # pair, so the column-major RLE order is preserved); per-pair
+        # offsets precomputed small so every per-pixel op stays 4-byte
+        offc = (pc0a - p_co)[P].astype(idx_t)
+        offr = (pr0a - p_ro)[P].astype(idx_t)
+        ph_p = p_h[P].astype(idx_t)
+        tcol = sel_cols + offc[cand_par]
+        trow = sel_rows + offr[cand_par]
+        flat_idx = tcol * ph_p[cand_par] + trow
         ann_counts = pix_per_pair[emitted]
         ann_starts = np.zeros(len(ann_pairs) + 1, dtype=np.int64)
         np.cumsum(ann_counts, out=ann_starts[1:])

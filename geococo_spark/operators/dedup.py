@@ -414,3 +414,58 @@ def simhash_pairs(
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    out_cluster: str = "cluster_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS — connected
+    components over the pair graph, labeling every member with the
+    minimum reachable id (the canonical document). This is the stage a
+    production dedup pipeline runs after minhash/simhash/embedding
+    candidates: transitive groups, not pairs, decide what to keep.
+
+    Distributed shape: iterative min-label propagation — per round ONE
+    keyed join (labels onto edges) + ONE groupBy min + a least() merge,
+    i.e. two shuffles on the edge/vertex keys, no collect, no driver
+    graph. Rounds needed = the component diameter (near-dup clusters are
+    shallow; a 100 TB corpus with chain-shaped components would swap
+    this loop for the O(log n) large-star/small-star CC — same per-round
+    plan shape, more rounds fused). ``localCheckpoint`` per round
+    truncates the lineage so round k does not replay rounds 0..k-1.
+    Deterministic; converges when no label changes; raises past
+    ``max_iters`` rather than returning a half-propagated labeling.
+    Returns one row per vertex: (out_id, out_cluster).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    lab = edges.select(F.col("src").alias("v")).distinct().withColumn("lab", F.col("v"))
+    for _ in range(max_iters):
+        nmin = (
+            edges.join(lab.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new = (
+            lab.join(nmin, "v", "left")
+            .select("v", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"))
+            .localCheckpoint()
+        )
+        changed = new.join(lab, ["v", "lab"], "left_anti").count()
+        lab = new
+        if changed == 0:
+            return lab.select(F.col("v").alias(out_id), F.col("lab").alias(out_cluster))
+    raise RuntimeError(
+        f"duplicate_clusters: not converged after {max_iters} rounds "
+        "(component diameter exceeds max_iters; raise it or use a "
+        "doubling CC variant)"
+    )

@@ -388,6 +388,45 @@ class TestFlatRasterizeEquivalence:
             np.testing.assert_array_equal(a, b)
 
 
+class TestFlatPixelExtraction:
+    """rasterize_all_touched_flat(return_pixels=True) must list exactly
+    the set pixels of each mask, sorted (label, col, row) — the order
+    the kernel's RLE pass assumes. Pins the round-6 composite-key sort
+    (one np.sort replacing the 3-key lexsort) against a from-scratch
+    reconstruction."""
+
+    @NO_DEADLINE
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(pixel_rings(), min_size=0, max_size=2),
+                st.tuples(st.integers(1, 20), st.integers(1, 20)),
+            ),
+            min_size=0,
+            max_size=6,
+        )
+    )
+    def test_pixels_match_masks(self, labels):
+        rings_lists = [list(rings) for rings, _ in labels]
+        shapes = [shape for _, shape in labels]
+        pts, ring_starts, label_ring_starts = _csr_from_ring_lists(rings_lists)
+        masks, pl, pr, pc = rasterize.rasterize_all_touched_flat(
+            np.ascontiguousarray(pts[:, 0]),
+            np.ascontiguousarray(pts[:, 1]),
+            ring_starts,
+            label_ring_starts,
+            np.array([s[0] for s in shapes], dtype=np.int64),
+            np.array([s[1] for s in shapes], dtype=np.int64),
+            return_pixels=True,
+        )
+        expect = []
+        for i, m in enumerate(masks):
+            cols, rows = np.nonzero(m.T)  # column-major enumeration
+            expect.extend((i, int(c), int(r)) for c, r in zip(cols, rows))
+        got = list(zip(pl.tolist(), pc.tolist(), pr.tolist()))
+        assert got == expect  # exact content AND (label, col, row) order
+
+
 class TestDecodeBatch:
     """wkb.decode_batch must reproduce decode_rings' points, ring
     structure, and geom types over random Polygon/MultiPolygon mixes."""

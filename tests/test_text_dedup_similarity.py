@@ -443,3 +443,56 @@ class TestSimilarity:
         )
         want = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == want and len(got) > 0
+
+
+class TestDuplicateClusters:
+    def _reference_cc(self, edges):
+        """Driver-side union-find oracle."""
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    def test_matches_union_find(self, spark):
+        # chains, a triangle, an isolated pair, and a star — incl. a
+        # chain whose diameter forces several propagation rounds
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+                 (10, 11), (11, 12), (10, 12),
+                 (20, 21),
+                 (30, 31), (30, 32), (30, 33), (30, 34)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        want = self._reference_cc(edges)
+        assert got == want
+        # canonical ids are the component minimum
+        assert got[6] == 1 and got[12] == 10 and got[34] == 30
+
+    def test_not_converged_raises(self, spark):
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="not converged"):
+            dedup.duplicate_clusters(pairs, max_iters=2)
+
+    def test_end_to_end_minhash_clusters(self, docs):
+        # the production shape: minhash pairs -> transitive clusters;
+        # every clustered doc's cluster head is a real doc id and the
+        # labeling is idempotent under re-clustering
+        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
+        edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert got == self._reference_cc(edges)
