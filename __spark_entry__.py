@@ -818,6 +818,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
 
+    def q_dedup_clusters(spark, sf_dir):
+        # round 6: the transitive-cluster stage of the dedup pipeline —
+        # minhash pair graph -> connected components, every member
+        # labeled with the component-minimum doc id (the canonical
+        # document). Iterative min-label propagation: two keyed shuffles
+        # per round, no driver graph (operators/dedup.py
+        # duplicate_clusters); the oracle walks the same graph with a
+        # recursive CTE.
+        docs = _t(spark, sf_dir, "documents")
+        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
+        return dedup.duplicate_clusters(pairs)
+
     def q_simhash(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).withColumn(
@@ -1197,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_escalate": q_knn_escalate,
         "q_knn_fallback": q_knn_fallback,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_embedding_neardup": q_embedding_neardup,
         "q_coco_skeleton": q_coco_skeleton,
@@ -2266,6 +2279,22 @@ FROM imgs i JOIN per_tile p ON i.tile_id = p.tile_id
         "q_minhash_lsh": _minhash_oracle_sql(
             k=3, num_perm=64, bands=16, threshold=0.5, seed=1
         ),
+        # connected components over the minhash pair graph: symmetric
+        # edge closure, recursive-CTE reachability, component minimum —
+        # the exact semantics of dedup.duplicate_clusters' min-label
+        # propagation fixpoint
+        "q_dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql(k=3, num_perm=64, bands=16, threshold=0.5, seed=1)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+  SELECT src AS v, dst AS r FROM edges
+  UNION
+  SELECT re.v, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r)
+SELECT v AS doc_id, least(v, min(r)) AS cluster_id FROM reach GROUP BY v
+""",
         "q_embedding_neardup": _embedding_neardup_oracle_sql(
             dim=64, threshold=0.42, n_planes=6, n_tables=10, seed=500
         ),
