@@ -562,6 +562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint"
         )
 
+    def q_repetition(spark, sf_dir):
+        return text.with_repetition_stats(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_2grams", "dup_2gram_frac", "n_3grams", "dup_3gram_frac",
+            "top_2gram_chars", "top_2gram_frac",
+        )
+
     def q_exact_dedup(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return (
@@ -1198,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
+        "q_repetition": q_repetition,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_topk": q_ann_topk,
@@ -2203,6 +2210,42 @@ SELECT doc_id,
               AS BIGINT)
        ELSE 0 END AS fingerprint
 FROM documents
+""",
+        # mirrors text.with_repetition_stats: word n-grams as space-joined
+        # strings; dup fraction = occurrences beyond first; top-2gram chars
+        # = max over distinct 2-grams of count * gram length
+        "q_repetition": r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split_regex(trim(text), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS g2,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM toks),
+top2 AS (
+  SELECT doc_id, n_chars, g2, g3,
+         CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+              d -> len(list_filter(g2, x -> x = d)) * length(d))), 0) AS BIGINT)
+           AS top_2gram_chars
+  FROM grams)
+SELECT doc_id,
+       CAST(len(g2) AS BIGINT) AS n_2grams,
+       ROUND((len(g2) - len(list_distinct(g2))) / GREATEST(len(g2), 1), 6)
+         AS dup_2gram_frac,
+       CAST(len(g3) AS BIGINT) AS n_3grams,
+       ROUND((len(g3) - len(list_distinct(g3))) / GREATEST(len(g3), 1), 6)
+         AS dup_3gram_frac,
+       top_2gram_chars,
+       ROUND(top_2gram_chars / GREATEST(n_chars, 1), 6) AS top_2gram_frac
+FROM top2
 """,
         "q_exact_dedup": """
 SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS canonical_id

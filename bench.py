@@ -105,6 +105,7 @@ def main() -> None:
         "q_text_quality",
         "q_exact_dedup",
         "q_minhash_lsh",
+        "q_dedup_clusters",
         "q_simhash",
         "q_embedding_neardup",
         "q_ann_topk",

@@ -509,8 +509,28 @@ def _burn_label_edges(
         slab = lab[eidx]
         rowoff = np.concatenate([[0], np.cumsum(maxr_l - minr_l + 1)])
         gkey = rowoff[slab] + (rows - minr_l[slab])
-        order = np.lexsort((xs, gkey))
-        gkey, xs, rows, slab = gkey[order], xs[order], rows[order], slab[order]
+        # (gkey, xs) order via ONE int64 sort of a rank-composite key
+        # instead of the 2-key lexsort (r6: the pixel-extraction
+        # composite-key lesson transfers — xs is float, so its order is
+        # encoded as a rank from one value argsort; argsort and lexsort
+        # share NaN-last semantics, and equal-xs tie order is invisible
+        # downstream because only the VALUES are consumed). The sorted
+        # key decodes back to (slab, row) arithmetically — rowoff is
+        # strictly increasing (maxr >= minr always) — deleting the
+        # rows/slab gathers along with lexsort's second stable argsort.
+        # Measured 2.4-4.9x vs lexsort at 0.2M-8M crossings.
+        n_cross = len(gkey)
+        if int(rowoff[-1]) < 2**62 // n_cross:
+            ordx = np.argsort(xs)
+            key = gkey[ordx] * n_cross + np.arange(n_cross, dtype=np.int64)
+            key.sort()
+            gkey = key // n_cross
+            xs = xs[ordx][key - gkey * n_cross]
+            slab = np.searchsorted(rowoff, gkey, side="right") - 1
+            rows = gkey - rowoff[slab] + minr_l[slab]
+        else:  # pragma: no cover - needs a 2^62 composite-key domain
+            order = np.lexsort((xs, gkey))
+            gkey, xs, rows, slab = gkey[order], xs[order], rows[order], slab[order]
         gidx = np.arange(len(gkey))
         row_change = np.empty(len(gkey), dtype=bool)
         row_change[0] = True

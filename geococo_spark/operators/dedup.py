@@ -449,19 +449,31 @@ def duplicate_clusters(
         .localCheckpoint()
     )
     lab = edges.select(F.col("src").alias("v")).distinct().withColumn("lab", F.col("v"))
-    for _ in range(max_iters):
-        nmin = (
-            edges.join(lab.withColumnRenamed("v", "src"), "src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new = (
+    for it in range(max_iters):
+        if it == 0:
+            # round 1: labels ARE the vertex ids, so the min neighbor
+            # label is just min(src) per dst — the label join is dead
+            nmin = edges.groupBy(F.col("dst").alias("v")).agg(F.min("src").alias("nlab"))
+        else:
+            nmin = (
+                edges.join(lab.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+        # carry the old label through the merge so convergence is a
+        # filter-count over the checkpointed partitions (one cached
+        # scan) instead of a second shuffle join (anti-join) per round
+        merged = (
             lab.join(nmin, "v", "left")
-            .select("v", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"))
+            .select(
+                "v",
+                F.col("lab").alias("old_lab"),
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
             .localCheckpoint()
         )
-        changed = new.join(lab, ["v", "lab"], "left_anti").count()
-        lab = new
+        changed = merged.where(F.col("old_lab") != F.col("lab")).count()
+        lab = merged.select("v", "lab")
         if changed == 0:
             return lab.select(F.col("v").alias(out_id), F.col("lab").alias(out_cluster))
     raise RuntimeError(

@@ -104,6 +104,60 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc has
+    fewer than n tokens (the when() guard keeps sequence() ascending —
+    Spark's sequence(1, k) DESCENDS for k < 1)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals (the Gopher/MassiveText-style quality rules a
+    training-data pipeline filters on): duplicate word-2-gram and
+    word-3-gram fractions, plus the fraction of characters covered by
+    the single most repeated 2-gram. All Spark built-ins (higher-order
+    functions, JVM-side); the inner count-per-distinct-gram pass is
+    O(distinct x total) per document — bounded by document length, so
+    per-row work stays constant at 100 TB corpus scale.
+
+    dup_Ngram_frac = (n_grams - n_distinct_grams) / n_grams: the
+    occurrences-beyond-first share. top_2gram_frac = max over distinct
+    2-grams of count * gram_chars, over total chars. Ratios rounded to
+    6 dp for oracle hash parity.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df
+    for n in (2, 3):
+        grams = _word_ngrams(toks, n)
+        total = F.size(grams).cast("long")
+        distinct = F.size(F.array_distinct(grams)).cast("long")
+        out = out.withColumn(f"n_{n}grams", total).withColumn(
+            f"dup_{n}gram_frac",
+            F.round((total - distinct) / F.greatest(total, F.lit(1)), 6),
+        )
+    g2 = _word_ngrams(toks, 2)
+    top_chars = F.aggregate(
+        F.array_distinct(g2),
+        F.lit(0).cast("long"),
+        lambda acc, d: F.greatest(
+            acc, F.size(F.filter(g2, lambda x: x == d)).cast("long") * F.length(d)
+        ),
+    )
+    return (
+        out.withColumn("top_2gram_chars", top_chars)
+        .withColumn(
+            "top_2gram_frac",
+            F.round(
+                top_chars / F.greatest(F.length(F.col(text_col)).cast("long"), F.lit(1)), 6
+            ),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", prefix_len: int = 64) -> DataFrame:
     """Document fingerprint: position-weighted checksum of the first
     ``prefix_len`` code points, mod 2^31-1 (a rolling-hash stand-in that

@@ -58,6 +58,28 @@ class TestText:
         ).first()
         assert empty.n_pieces == 0 and empty.n_bpe_tokens == 0
 
+    def test_repetition_stats(self, spark):
+        # "a b a b c": 2-grams = [a b, b a, a b, b c] -> 4 total, 3 distinct
+        # -> dup frac 0.25; top 2-gram "a b" covers 2 occ x 3 chars = 6 of
+        # 9 chars. 3-grams = [a b a, b a b, a b c] all distinct -> 0.0
+        df = spark.createDataFrame([Row(doc_id=1, text="a b a b c")])
+        r = text.with_repetition_stats(df).first()
+        assert r.n_2grams == 4 and r.dup_2gram_frac == 0.25
+        assert r.n_3grams == 3 and r.dup_3gram_frac == 0.0
+        assert r.top_2gram_chars == 6
+        assert r.top_2gram_frac == round(6 / 9, 6)
+
+    def test_repetition_stats_short_docs(self, spark):
+        # fewer tokens than the gram size -> zero grams, zero fractions
+        rows = [Row(doc_id=1, text="solo"), Row(doc_id=2, text=""),
+                Row(doc_id=3, text="two words")]
+        out = {r.doc_id: r for r in text.with_repetition_stats(
+            spark.createDataFrame(rows)).collect()}
+        assert out[1].n_2grams == 0 and out[1].dup_2gram_frac == 0.0
+        assert out[2].n_2grams == 0 and out[2].top_2gram_chars == 0
+        assert out[3].n_2grams == 1 and out[3].n_3grams == 0
+        assert out[3].dup_2gram_frac == 0.0
+
     def test_fingerprint_deterministic(self, spark, docs):
         a = text.with_fingerprint(docs).select("doc_id", "fingerprint").collect()
         b = text.with_fingerprint(docs).select("doc_id", "fingerprint").collect()
