@@ -379,8 +379,10 @@ def rasterize_all_touched_flat(
     )
     total_pts = int(ring_starts[-1]) if len(ring_starts) else 0
     if n == 0 or total_pts == 0:
-        burned = _burn_label_edges(*empty_edges, nrows_l, ncols_l, minr_l, maxr_l)
-        return _flat_result(burned, ncols_l, return_pixels)
+        burned = _burn_label_edges(
+            *empty_edges, nrows_l, ncols_l, minr_l, maxr_l, col_major=return_pixels
+        )
+        return _flat_result(burned, ncols_l, return_pixels, nrows_l, return_pixels)
     lab_pt_start = ring_starts[label_ring_starts]  # (L+1,) point offsets per label
     pt_counts = np.diff(lab_pt_start)
     nz = pt_counts > 0
@@ -417,16 +419,18 @@ def rasterize_all_touched_flat(
     emask = valid[elab]
     kidx = kidx[emask]
     if kidx.size == 0:
-        burned = _burn_label_edges(*empty_edges, nrows_l, ncols_l, minr_l, maxr_l)
-        return _flat_result(burned, ncols_l, return_pixels)
+        burned = _burn_label_edges(
+            *empty_edges, nrows_l, ncols_l, minr_l, maxr_l, col_major=return_pixels
+        )
+        return _flat_result(burned, ncols_l, return_pixels, nrows_l, return_pixels)
     burned = _burn_label_edges(
         px[kidx], py[kidx], px[kidx + 1], py[kidx + 1], elab[emask],
-        nrows_l, ncols_l, minr_l, maxr_l,
+        nrows_l, ncols_l, minr_l, maxr_l, col_major=return_pixels,
     )
-    return _flat_result(burned, ncols_l, return_pixels)
+    return _flat_result(burned, ncols_l, return_pixels, nrows_l, return_pixels)
 
 
-def _flat_result(burned, ncols_l, return_pixels):
+def _flat_result(burned, ncols_l, return_pixels, nrows_l=None, col_major=False):
     masks, buf, moff = burned
     if not return_pixels:
         return masks
@@ -434,6 +438,23 @@ def _flat_result(burned, ncols_l, return_pixels):
     if pos.size == 0:
         z = np.empty(0, dtype=np.int64)
         return masks, z, np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32)
+    if col_major:
+        # r6 late: the burn wrote each patch COLUMN-major (see
+        # _burn_label_edges col_major), so nonzero's ascending flat
+        # positions ARE the (label, col, row) order the RLE pass wants —
+        # the composite-key sort and its two decodes vanish. The label
+        # of each pixel falls out of block boundaries: moff is sorted
+        # and pos is sorted, so searching the L+1 boundaries in pos
+        # (1200 binary searches) + one repeat replaces the per-pixel
+        # searchsorted (470k binary searches). Measured: extraction
+        # 25 -> ~5 ms on the roofline kernel shape at p=1.
+        counts = np.diff(np.searchsorted(pos, moff))
+        lab = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        rel = pos - moff[lab]
+        nrl = nrows_l[lab]
+        col = rel // np.maximum(nrl, 1)
+        row = rel - col * nrl
+        return masks, lab, row.astype(np.int32), col.astype(np.int32)
     lab = np.searchsorted(moff, pos, side="right") - 1
     rel = pos - moff[lab]
     ncl = ncols_l[lab]
@@ -471,18 +492,34 @@ def _burn_label_edges(
     ncols_l: np.ndarray,
     minr_l: np.ndarray,
     maxr_l: np.ndarray,
+    col_major: bool = False,
 ) -> list[np.ndarray]:
     """Shared batched burn: scanline fill + boundary supercover for a
     flat edge list labeled by patch index (the tail of the round-5
-    ``rasterize_all_touched_many``, shared with the CSR flat path)."""
+    ``rasterize_all_touched_many``, shared with the CSR flat path).
+
+    With ``col_major=True`` each patch is laid out column-major in the
+    shared buffer (flat index ``col * nrows + row``), so the pixel
+    extraction's nonzero() emits (label, col, row) order natively (r6
+    late — the geometry math is untouched; only the flat index mapping
+    and the mask views change, and patches are small enough, ~1 KB, to
+    stay cache-resident either way). The returned masks are transposed
+    views with identical boolean content and (nrows, ncols) shape.
+    """
     n = len(nrows_l)
     sizes = nrows_l * ncols_l
     moff = np.concatenate([[0], np.cumsum(sizes)])
     buf = np.zeros(int(moff[-1]), dtype=bool)
-    masks = [
-        buf[moff[i] : moff[i + 1]].reshape(int(nrows_l[i]), int(ncols_l[i]))
-        for i in range(n)
-    ]
+    if col_major:
+        masks = [
+            buf[moff[i] : moff[i + 1]].reshape(int(ncols_l[i]), int(nrows_l[i])).T
+            for i in range(n)
+        ]
+    else:
+        masks = [
+            buf[moff[i] : moff[i + 1]].reshape(int(nrows_l[i]), int(ncols_l[i]))
+            for i in range(n)
+        ]
     if x0.size == 0:
         return masks, buf, moff
 
@@ -557,7 +594,10 @@ def _burn_label_edges(
             c0 = c0f.astype(np.int64)  # garbage only where scounts == 0
         sidx, cols = _expand_ranges(c0, scounts)
         if sidx.size:
-            buf[moff[rlab[sidx]] + rr[sidx] * ncols_l[rlab[sidx]] + cols] = True
+            if col_major:
+                buf[moff[rlab[sidx]] + cols * nrows_l[rlab[sidx]] + rr[sidx]] = True
+            else:
+                buf[moff[rlab[sidx]] + rr[sidx] * ncols_l[rlab[sidx]] + cols] = True
 
     # ---- boundary supercover (batched _supercover_mark_all) ----
     nrowsE = nrows_l[lab]
@@ -618,7 +658,10 @@ def _burn_label_edges(
     inc = (cols >= 0) & (cols < ncolsE[ridx])
     ridx, cols = ridx[inc], cols[inc]
     if ridx.size:
-        buf[moff[slab[ridx]] + rows[ridx] * ncolsE[ridx] + cols] = True
+        if col_major:
+            buf[moff[slab[ridx]] + cols * nrows_l[slab[ridx]] + rows[ridx]] = True
+        else:
+            buf[moff[slab[ridx]] + rows[ridx] * ncolsE[ridx] + cols] = True
     return masks, buf, moff
 
 
