@@ -836,6 +836,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
         return dedup.duplicate_clusters(pairs)
 
+    def q_dedup_apply(spark, sf_dir):
+        # round 6: the terminal corpus-compaction stage — keep one
+        # canonical doc per duplicate cluster plus every unclustered doc
+        # (operators/dedup.py deduplicate_corpus); the oracle replays the
+        # recursive-CTE clusters and the same keep rule in SQL.
+        docs = _t(spark, sf_dir, "documents")
+        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
+        clusters = dedup.duplicate_clusters(pairs)
+        return dedup.deduplicate_corpus(docs, clusters).select("doc_id", "is_canonical")
+
     def q_simhash(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).withColumn(
@@ -1217,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_fallback": q_knn_fallback,
         "q_minhash_lsh": q_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_apply": q_dedup_apply,
         "q_simhash": q_simhash,
         "q_embedding_neardup": q_embedding_neardup,
         "q_coco_skeleton": q_coco_skeleton,
@@ -2337,6 +2348,24 @@ reach AS (
   UNION
   SELECT re.v, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r)
 SELECT v AS doc_id, least(v, min(r)) AS cluster_id FROM reach GROUP BY v
+""",
+        # corpus compaction: keep the cluster-minimum member of every
+        # duplicate cluster + all unclustered docs (deduplicate_corpus)
+        "q_dedup_apply": f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql(k=3, num_perm=64, bands=16, threshold=0.5, seed=1)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+  SELECT src AS v, dst AS r FROM edges
+  UNION
+  SELECT re.v, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+clusters AS (
+  SELECT v AS doc_id, least(v, min(r)) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id, (c.cluster_id IS NOT NULL) AS is_canonical
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.cluster_id IS NULL OR d.doc_id = c.cluster_id
 """,
         "q_embedding_neardup": _embedding_neardup_oracle_sql(
             dim=64, threshold=0.42, n_planes=6, n_tables=10, seed=500

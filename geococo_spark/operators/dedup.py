@@ -481,3 +481,36 @@ def duplicate_clusters(
         "(component diameter exceeds max_iters; raise it or use a "
         "doubling CC variant)"
     )
+
+
+def deduplicate_corpus(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_id: str = "cluster_id",
+) -> DataFrame:
+    """Corpus compaction — the terminal stage of the dedup pipeline:
+    given the (doc_id, cluster_id) labeling from
+    :func:`duplicate_clusters`, keep exactly one document per duplicate
+    cluster (the canonical minimum-id member, i.e. the row whose id IS
+    its cluster id) plus every unclustered document untouched.
+
+    Plan shape: one left join of the corpus against the (small relative
+    to the corpus — only clustered docs appear) labeling, then a filter;
+    no window, no groupBy, no second pass over the corpus. At 100 TB the
+    labeling side is broadcast-or-shuffle by AQE on corpus-vs-labeling
+    size; either way the full documents table crosses the wire at most
+    once. Adds ``is_canonical`` (kept cluster representatives, false for
+    never-clustered singletons) so downstream can distinguish "survived
+    dedup" from "never had a duplicate".
+    """
+    lab = clusters.select(
+        F.col(id_col).alias("__dd_id"), F.col(cluster_id).alias("__dd_cluster")
+    )
+    joined = docs.join(lab, docs[id_col] == lab["__dd_id"], "left")
+    kept = joined.where(
+        F.col("__dd_cluster").isNull() | (F.col(id_col) == F.col("__dd_cluster"))
+    )
+    return kept.withColumn(
+        "is_canonical", F.col("__dd_cluster").isNotNull()
+    ).drop("__dd_id", "__dd_cluster")

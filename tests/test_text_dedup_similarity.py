@@ -518,3 +518,19 @@ class TestDuplicateClusters:
             for r in dedup.duplicate_clusters(pairs).collect()
         }
         assert got == self._reference_cc(edges)
+
+    def test_deduplicate_corpus(self, spark):
+        # clusters {1,2,3} and {10,11}; 5 and 7 unclustered
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in (1, 2, 3, 5, 7, 10, 11)],
+            "doc_id long, text string",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id long, cluster_id long",
+        )
+        rows = {r.doc_id: r for r in dedup.deduplicate_corpus(docs, clusters).collect()}
+        assert sorted(rows) == [1, 5, 7, 10]  # one per cluster + singletons
+        assert rows[1].is_canonical and rows[10].is_canonical
+        assert not rows[5].is_canonical and not rows[7].is_canonical
+        assert rows[5].text == "text 5"  # corpus columns ride through
