@@ -502,6 +502,10 @@ class TestDuplicateClusters:
         # canonical ids are the component minimum
         assert got[6] == 1 and got[12] == 10 and got[34] == 30
 
+    def test_empty_pairs(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert dedup.duplicate_clusters(pairs).count() == 0
+
     def test_not_converged_raises(self, spark):
         pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
         with pytest.raises(RuntimeError, match="not converged"):
