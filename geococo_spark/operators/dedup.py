@@ -423,6 +423,7 @@ def duplicate_clusters(
     out_id: str = "doc_id",
     out_cluster: str = "cluster_id",
     max_iters: int = 50,
+    jump_after: int | None = 4,
 ) -> DataFrame:
     """Resolve duplicate PAIRS into duplicate CLUSTERS — connected
     components over the pair graph, labeling every member with the
@@ -432,12 +433,19 @@ def duplicate_clusters(
 
     Distributed shape: iterative min-label propagation — per round ONE
     keyed join (labels onto edges) + ONE groupBy min + a least() merge,
-    i.e. two shuffles on the edge/vertex keys, no collect, no driver
-    graph. Rounds needed = the component diameter (near-dup clusters are
-    shallow; a 100 TB corpus with chain-shaped components would swap
-    this loop for the O(log n) large-star/small-star CC — same per-round
-    plan shape, more rounds fused). ``localCheckpoint`` per round
-    truncates the lineage so round k does not replay rounds 0..k-1.
+    no collect, no driver graph; convergence is a filter-count over the
+    round's checkpointed output. Rounds needed = the component diameter
+    for plain propagation — near-dup clusters are shallow, so the first
+    ``jump_after`` rounds run the cheap plan. If the graph is deeper
+    than that (chain-shaped components — the 100 TB adversarial case),
+    every later round ALSO pointer-jumps (``lab[lab[v]]`` via one extra
+    label self-join), which doubles the propagation distance per round:
+    total rounds become O(jump_after + log diameter) instead of
+    O(diameter). Labels only ever take vertex-id values reachable in
+    the component, so the fixpoint — every vertex at its component
+    minimum — is identical with or without jumping; ``jump_after=None``
+    disables the escalation. ``localCheckpoint`` per round truncates
+    the lineage so round k does not replay rounds 0..k-1.
     Deterministic; converges when no label changes; raises past
     ``max_iters`` rather than returning a half-propagated labeling.
     Returns one row per vertex: (out_id, out_cluster).
@@ -460,16 +468,24 @@ def duplicate_clusters(
                 .groupBy(F.col("dst").alias("v"))
                 .agg(F.min("lab").alias("nlab"))
             )
+        base = lab.join(nmin, "v", "left")
+        if jump_after is not None and it >= jump_after:
+            # pointer jump: lab[lab[v]] — one label self-join keyed on
+            # the label value; doubles propagation distance per round
+            jump = lab.select(
+                F.col("v").alias("__jk"), F.col("lab").alias("jlab")
+            )
+            base = base.join(jump, F.col("lab") == F.col("__jk"), "left").drop("__jk")
+            new_lab = F.least(
+                F.col("lab"), F.coalesce("nlab", "lab"), F.coalesce("jlab", "lab")
+            )
+        else:
+            new_lab = F.least(F.col("lab"), F.coalesce("nlab", "lab"))
         # carry the old label through the merge so convergence is a
         # filter-count over the checkpointed partitions (one cached
         # scan) instead of a second shuffle join (anti-join) per round
         merged = (
-            lab.join(nmin, "v", "left")
-            .select(
-                "v",
-                F.col("lab").alias("old_lab"),
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
-            )
+            base.select("v", F.col("lab").alias("old_lab"), new_lab.alias("lab"))
             .localCheckpoint()
         )
         changed = merged.where(F.col("old_lab") != F.col("lab")).count()

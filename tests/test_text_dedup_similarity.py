@@ -506,6 +506,20 @@ class TestDuplicateClusters:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert dedup.duplicate_clusters(pairs).count() == 0
 
+    def test_pointer_jump_beats_diameter(self, spark):
+        # a 40-edge chain: plain min-label needs ~diameter rounds, so it
+        # must raise at max_iters=12 with jumping disabled but converge
+        # (to the same union-find labeling) with the default escalation
+        edges = [(i, i + 1) for i in range(40)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="not converged"):
+            dedup.duplicate_clusters(pairs, max_iters=12, jump_after=None)
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs, max_iters=12).collect()
+        }
+        assert got == self._reference_cc(edges)
+
     def test_not_converged_raises(self, spark):
         pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
         with pytest.raises(RuntimeError, match="not converged"):
