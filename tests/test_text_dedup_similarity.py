@@ -80,6 +80,45 @@ class TestText:
         assert out[3].n_2grams == 1 and out[3].n_3grams == 0
         assert out[3].dup_2gram_frac == 0.0
 
+    def test_repetition_stats_vs_reference(self, spark):
+        # randomized parity vs a from-scratch Python reference (the
+        # Spark side is higher-order-function expressions — this pins
+        # the n-gram windowing, dup accounting, and rounding end to end)
+        import random
+
+        rnd = random.Random(20260818)
+        vocab = ["a", "bb", "ccc", "dd", "e"]
+        rows = [
+            (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 12))))
+            for i in range(40)
+        ]
+
+        def ref(text):
+            toks = [t for t in text.strip().split()] if text.strip() else [""]
+            out = {}
+            for n in (2, 3):
+                grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+                out[f"n_{n}grams"] = len(grams)
+                out[f"dup_{n}gram_frac"] = round(
+                    (len(grams) - len(set(grams))) / max(len(grams), 1), 6
+                )
+            g2 = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+            top = max((g2.count(d) * len(d) for d in set(g2)), default=0)
+            out["top_2gram_chars"] = top
+            out["top_2gram_frac"] = round(top / max(len(text), 1), 6)
+            return out
+
+        got = {
+            r.doc_id: r
+            for r in text.with_repetition_stats(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        for doc_id, t in rows:
+            want = ref(t)
+            for k, v in want.items():
+                assert getattr(got[doc_id], k) == v, (doc_id, k, t)
+
     def test_fingerprint_deterministic(self, spark, docs):
         a = text.with_fingerprint(docs).select("doc_id", "fingerprint").collect()
         b = text.with_fingerprint(docs).select("doc_id", "fingerprint").collect()
