@@ -163,9 +163,12 @@ class CocoState:
         :data:`MAX_SINGLE_FILE_ANNOTATIONS`) a plain call raises; pass
         ``shard_annotations_dir`` to write the annotation section as
         distributed JSON-lines shards (``df.write.json``) instead — the
-        main file then carries an ``annotation_shards`` manifest and an
-        empty ``annotations`` list, and :meth:`from_json_file` reads the
-        shards back transparently.
+        main file then carries an ``annotation_shards`` manifest and
+        OMITS the ``annotations`` key entirely (ADVICE r06: an empty
+        list parsed as a valid zero-annotation dataset in standard COCO
+        consumers — silent data loss; a missing required section fails
+        loudly instead). Sharded main files are therefore NOT standard
+        COCO and are only readable via :meth:`from_json_file`.
         """
         limit = (
             self.MAX_SINGLE_FILE_ANNOTATIONS if max_collect_rows is None else max_collect_rows
@@ -214,24 +217,6 @@ class CocoState:
                 }
                 for r in self.images.orderBy("id").collect()
             ],
-            "annotations": []
-            if shard_annotations_dir is not None
-            else [
-                {
-                    "id": r["id"],
-                    "image_id": r["image_id"],
-                    "category_id": r["category_id"],
-                    "segmentation": {
-                        "size": list(r["segmentation"]["size"]),
-                        # COCO JSON carries counts ascii-decoded
-                        "counts": bytes(r["segmentation"]["counts"]).decode("ascii"),
-                    },
-                    "area": r["area"],
-                    "bbox": list(r["bbox"]),
-                    "iscrowd": r["iscrowd"],
-                }
-                for r in self.annotations.orderBy("id").collect()
-            ],
             "categories": [
                 {"id": r["id"], "name": r["name"], "supercategory": r["supercategory"]}
                 for r in self.categories.orderBy("id").collect()
@@ -248,11 +233,31 @@ class CocoState:
             ],
         }
         if shard_annotations_dir is not None:
+            # no "annotations" key AT ALL (ADVICE r06): a standard COCO
+            # consumer must fail on the missing section, never silently
+            # parse a zero-annotation dataset
             doc["annotation_shards"] = {
                 "dir": shard_annotations_dir,
                 "count": n_anns,
                 "format": "json-lines",
             }
+        else:
+            doc["annotations"] = [
+                {
+                    "id": r["id"],
+                    "image_id": r["image_id"],
+                    "category_id": r["category_id"],
+                    "segmentation": {
+                        "size": list(r["segmentation"]["size"]),
+                        # COCO JSON carries counts ascii-decoded
+                        "counts": bytes(r["segmentation"]["counts"]).decode("ascii"),
+                    },
+                    "area": r["area"],
+                    "bbox": list(r["bbox"]),
+                    "iscrowd": r["iscrowd"],
+                }
+                for r in self.annotations.orderBy("id").collect()
+            ]
         with open(path, "w") as fh:
             json.dump(doc, fh)
 

@@ -120,9 +120,11 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     training-data pipeline filters on): duplicate word-2-gram and
     word-3-gram fractions, plus the fraction of characters covered by
     the single most repeated 2-gram. All Spark built-ins (higher-order
-    functions, JVM-side); the inner count-per-distinct-gram pass is
-    O(distinct x total) per document — bounded by document length, so
-    per-row work stays constant at 100 TB corpus scale.
+    functions, JVM-side); the top-2-gram pass sorts the gram array and
+    counts adjacent runs — O(n log n) in the document's token count
+    (ADVICE r06: the previous filter-per-distinct-gram formulation was
+    O(distinct x total), quadratic exactly on the highly repetitive
+    long documents this signal targets).
 
     dup_Ngram_frac = (n_grams - n_distinct_grams) / n_grams: the
     occurrences-beyond-first share. top_2gram_frac = max over distinct
@@ -139,13 +141,27 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"dup_{n}gram_frac",
             F.round((total - distinct) / F.greatest(total, F.lit(1)), 6),
         )
-    g2 = _word_ngrams(toks, 2)
+    # max over distinct grams of count*chars == max over RUNS of equal
+    # adjacent grams in the sorted array (each distinct gram's full
+    # count is the length of its single sorted run) — value-identical
+    # to the old per-distinct filter, one sort + one linear fold
+    g2_sorted = F.array_sort(_word_ngrams(toks, 2))
+    zero = F.lit(0).cast("long")
     top_chars = F.aggregate(
-        F.array_distinct(g2),
-        F.lit(0).cast("long"),
-        lambda acc, d: F.greatest(
-            acc, F.size(F.filter(g2, lambda x: x == d)).cast("long") * F.length(d)
+        g2_sorted,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
         ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+                * F.length(x).cast("long"),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return (
         out.withColumn("top_2gram_chars", top_chars)

@@ -114,6 +114,27 @@ def write_images_bucketed(
     return table
 
 
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Storage LOCATION of a catalog table (None when undeterminable)."""
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if (r["col_name"] or "").strip() == "Location":
+                return (r["data_type"] or "").strip()
+    except Exception:
+        return None
+    return None
+
+
+def _norm_location(loc: str) -> str:
+    """Scheme-stripped, slash-normalized path for location comparison
+    (catalog stores ``file:/abs/path``, callers pass ``/abs/path``)."""
+    import os
+    import re
+
+    p = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "", loc)
+    return os.path.abspath(p).rstrip("/")
+
+
 def read_images_bucketed(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
     """Open a bucketed images store written by :func:`write_images_bucketed`.
 
@@ -123,13 +144,26 @@ def read_images_bucketed(spark: SparkSession, path: str, table: str | None = Non
     ``spark.sql.requireAllClusterKeysForCoPartition=false`` so the
     kernel cogroup (keyed ``(image_id, band)``) accepts the bucket
     layout (clustered on the ``image_id`` prefix) without an exchange.
+
+    A catalog table whose name matches the manifest but whose LOCATION
+    is a *different* store (two stores written with the default table
+    name — the later write repoints the catalog) is NOT trusted
+    (ADVICE r06): the reader compares locations and re-registers under
+    a per-path derived name on mismatch, so the returned rows always
+    come from ``path``.
     """
+    import hashlib
     import json
     import os
 
     with open(os.path.join(path, _BUCKET_MANIFEST)) as fh:
         manifest = json.load(fh)
     table = table or manifest["table"]
+    if spark.catalog.tableExists(table):
+        loc = _table_location(spark, table)
+        if loc is not None and _norm_location(loc) != _norm_location(path):
+            digest = hashlib.md5(os.path.abspath(path).encode("utf-8")).hexdigest()[:8]
+            table = f"{table}_{digest}"
     if not spark.catalog.tableExists(table):
         spark.sql(
             f"CREATE TABLE {table} ({manifest['ddl']}) USING parquet "

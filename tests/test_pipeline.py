@@ -406,6 +406,36 @@ class TestKernelScaleShape:
             spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old)
             spark.sql("DROP TABLE IF EXISTS _test_img_bucketed")
 
+    def test_bucketed_reader_rejects_repointed_catalog_name(self, spark, tmp_path):
+        """ADVICE r06: two stores written under the SAME default table
+        name — the later write repoints the catalog, so a reader that
+        trusts the name alone would silently return store B's rows for
+        store A's path. The reader must compare the catalog LOCATION and
+        re-register store A under a per-path name instead."""
+        from geococo_spark import sinks
+
+        a = datagen.images_df(spark, 2)
+        b = datagen.images_df(spark, 3)
+        store_a = str(tmp_path / "store_a")
+        store_b = str(tmp_path / "store_b")
+        try:
+            sinks.write_images_bucketed(a, store_a, buckets=2, table="_test_img_repoint")
+            sinks.write_images_bucketed(b, store_b, buckets=2, table="_test_img_repoint")
+            got_a = sinks.read_images_bucketed(spark, store_a)
+            got_b = sinks.read_images_bucketed(spark, store_b)
+            assert sorted(r["image_id"] for r in got_a.select("image_id").collect()) == sorted(
+                r["image_id"] for r in a.select("image_id").collect()
+            )
+            assert sorted(r["image_id"] for r in got_b.select("image_id").collect()) == sorted(
+                r["image_id"] for r in b.select("image_id").collect()
+            )
+        finally:
+            for t in [
+                r.name for r in spark.catalog.listTables()
+                if r.name.startswith("_test_img_repoint")
+            ]:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     def test_decode_cache_lru_and_hits(self):
         """Per-worker decode cache: content-keyed hits, byte-budgeted LRU
         eviction, and frozen (read-only) cached arrays."""
@@ -668,7 +698,9 @@ class TestJsonRoundTrip:
 
         with open(p) as fh:
             doc = _json.load(fh)
-        assert doc["annotations"] == []  # nothing collected to the driver
+        # ADVICE r06: no "annotations" key at all — a standard COCO
+        # consumer must fail loudly, not parse a zero-annotation dataset
+        assert "annotations" not in doc
         assert doc["annotation_shards"]["dir"] == shard_dir
         loaded = CocoState.from_json_file(spark, p)
         assert loaded.info == appended.info

@@ -8,17 +8,27 @@ annotation pass (motivated by tools/dram_roofline.py: the kernel is
 
 Cross-window roofline runs are NOT comparable (the triad bandwidth
 reading itself moved 101 -> 128 GB/s between round-6 windows), so this
-script interleaves OLD (r5 code: tile_kernel loaded from git HEAD via
-/tmp/tile_kernel_r5.py + the old _flat_result monkeypatched into
-rasterize) and NEW (working tree) kernel timings at p = 1 and p = 32
-in ONE window, and computes both variants' DRAM traffic Q against the
-SAME triad calibration:
+script interleaves OLD (r5 code: tile_kernel AND rasterize both pinned
+from git commit 7958ed6 — the parent of the composite-sort commit
+b1d221b, i.e. the last true-r5 kernel) and NEW (working tree) kernel
+timings at p = 1 and p = 32 in ONE window, and computes both variants'
+DRAM traffic Q against the SAME triad calibration:
 
     t(p) = t_cpu + Q / b(p)   =>   Q = (t32 - t1) / (1/b32 - 1/b1)
 
-Prepare + run from /root/repo (~4 min):
-    git show HEAD:geococo_spark/kernels/tile_kernel.py > /tmp/tile_kernel_r5.py
+Run from /root/repo (~4 min; the pinned r5 sources self-extract via
+``git show``):
     python tools/ab_pixel_sort_r6.py
+
+PROVENANCE (ADVICE r06): the numbers recorded in BENCH/BASELINE.md
+round 6 were taken with NEW = the working tree at commit b1d221b and
+OLD = HEAD-at-the-time = 7958ed6. The old arm originally monkeypatched
+only ``_flat_result`` into the *shared* rasterize module; the round-6
+col-major commit (db39730) changed that function's arity and the burn
+layout, which broke the old arm at later HEADs. The arm is now fully
+pinned to 7958ed6, so the r5 side reproduces exactly; a run at today's
+HEAD therefore measures "r5 kernel vs CURRENT kernel", a superset of
+the originally recorded delta.
 """
 
 from __future__ import annotations
@@ -36,37 +46,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.dram_roofline import TRIAD_N, _kernel_inputs, _triad_worker  # noqa: E402
 
 KERNEL_REPS = 6
+R5_COMMIT = "7958ed6"  # parent of b1d221b: the last pre-composite-sort kernel
 R5_KERNEL_PATH = "/tmp/tile_kernel_r5.py"
+R5_RASTER_PATH = "/tmp/rasterize_r5.py"
 
 
-def _old_flat_result(burned, ncols_l, return_pixels):
-    """The pre-round-6 extraction (3-key lexsort, int64 pixel coords),
-    kept here verbatim for the A/B only."""
-    masks, buf, moff = burned
-    if not return_pixels:
-        return masks
-    pos = np.nonzero(buf)[0]
-    if pos.size == 0:
-        z = np.empty(0, dtype=np.int64)
-        return masks, z, z.copy(), z.copy()
-    lab = np.searchsorted(moff, pos, side="right") - 1
-    rel = pos - moff[lab]
-    ncl = ncols_l[lab]
-    row = rel // ncl
-    col = rel - row * ncl
-    order = np.lexsort((row, col, lab))
-    return masks, lab[order], row[order], col[order]
+def _extract_r5_sources() -> None:
+    """``git show`` the pinned r5 modules into /tmp (idempotent)."""
+    import subprocess
+
+    for repo_path, dst in (
+        ("geococo_spark/kernels/tile_kernel.py", R5_KERNEL_PATH),
+        ("geococo_spark/geometry/rasterize.py", R5_RASTER_PATH),
+    ):
+        if os.path.exists(dst):
+            continue
+        src = subprocess.run(
+            ["git", "show", f"{R5_COMMIT}:{repo_path}"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout
+        with open(dst, "w") as fh:
+            fh.write(src)
 
 
 def _load_r5_kernel():
-    """Load the r5 tile_kernel module with the r5 _flat_result patched
-    into the (shared) rasterize module — rasterize's only r6 change IS
-    _flat_result, so this reconstructs the full r5 kernel path."""
+    """Load the FULLY PINNED r5 kernel: rasterize from 7958ed6 is
+    installed as ``geococo_spark.geometry.rasterize`` before the r5
+    tile_kernel module executes its imports, so the old arm never sees
+    any later working-tree rasterize (ADVICE r06 — the previous
+    single-function monkeypatch broke when the col-major commit changed
+    ``_flat_result``'s arity). Runs only inside the old arm's dedicated
+    worker process, so the module swap never leaks into the new arm."""
     import importlib.util
 
-    from geococo_spark.geometry import rasterize
+    import geococo_spark.geometry as geo
 
-    rasterize._flat_result = _old_flat_result
+    _extract_r5_sources()
+    spec_r = importlib.util.spec_from_file_location("rasterize_r5", R5_RASTER_PATH)
+    rast = importlib.util.module_from_spec(spec_r)
+    spec_r.loader.exec_module(rast)
+    geo.rasterize = rast
+    sys.modules["geococo_spark.geometry.rasterize"] = rast
     spec = importlib.util.spec_from_file_location("tile_kernel_r5", R5_KERNEL_PATH)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -124,8 +147,7 @@ def _run_once(variant):
 
 
 def main() -> None:
-    if not os.path.exists(R5_KERNEL_PATH):
-        raise SystemExit(f"missing {R5_KERNEL_PATH} — see module docstring")
+    _extract_r5_sources()
     out: dict = {"outputs_identical": _outputs_identical()}
     assert out["outputs_identical"]
 
