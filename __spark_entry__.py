@@ -820,9 +820,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_minhash_lsh(spark, sf_dir):
         # portable=True: md5-based shingle hashing reproducible in the
-        # DuckDB oracle (same banding/join/verify plan as the fast path)
+        # DuckDB oracle (same banding/join/verify plan as the fast path).
+        # max_bucket_size mirrors the oracle's cap CTE (VERDICT r06 #2):
+        # the capped path IS the oracle-exercised path.
         docs = _t(spark, sf_dir, "documents")
-        return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
+        return dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, portable=True, max_bucket_size=64
+        )
 
     def q_dedup_clusters(spark, sf_dir):
         # round 6: the transitive-cluster stage of the dedup pipeline —
@@ -833,7 +837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # duplicate_clusters); the oracle walks the same graph with a
         # recursive CTE.
         docs = _t(spark, sf_dir, "documents")
-        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, portable=True, max_bucket_size=64
+        )
         return dedup.duplicate_clusters(pairs)
 
     def q_dedup_apply(spark, sf_dir):
@@ -842,15 +848,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (operators/dedup.py deduplicate_corpus); the oracle replays the
         # recursive-CTE clusters and the same keep rule in SQL.
         docs = _t(spark, sf_dir, "documents")
-        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, portable=True, max_bucket_size=64
+        )
         clusters = dedup.duplicate_clusters(pairs)
         return dedup.deduplicate_corpus(docs, clusters).select("doc_id", "is_canonical")
 
     def q_simhash(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
-        return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).withColumn(
-            "hamming", F.col("hamming").cast("int")
-        )
+        return dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3, max_bucket_size=64
+        ).withColumn("hamming", F.col("hamming").cast("int"))
 
     def q_embedding_neardup(spark, sf_dir):
         embs = _t(spark, sf_dir, "embeddings")
@@ -1250,10 +1258,24 @@ _M31 = (1 << 31) - 1
 _M61 = (1 << 61) - 1
 
 
-def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+def _lsh_cap_cte(group_keys: str, max_bucket_size: int | None) -> str:
+    """Shared hot-bucket-cap CTE: filters ``banded0`` down to ``banded``,
+    dropping any bucket group larger than the cap — the SQL mirror of
+    dedup._cap_hot_buckets (and the pre-existing embedding-neardup cap)."""
+    if max_bucket_size is None:
+        return "banded AS (SELECT * FROM banded0),"
+    on = " AND ".join(f"b0.{k} = k.{k}" for k in group_keys.split(", "))
+    return f"""banded AS (
+  SELECT b0.* FROM banded0 b0
+  JOIN (SELECT {group_keys} FROM banded0 GROUP BY {group_keys}
+        HAVING count(*) <= {max_bucket_size}) k
+    ON {on}),"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, max_bucket_size: int | None = None) -> str:
     """DuckDB replica of dedup.simhash_pairs: md5-native token bits
     (hex digits 1-15 → bits 0-59, digits 16-30 → bits 60-63), same
-    banding and hamming filter."""
+    banding, optional hot-bucket cap, and hamming filter."""
     bits_list = ", ".join(
         (
             f"(CASE WHEN list_sum(list_transform(xs1, x -> "
@@ -1284,7 +1306,8 @@ hs AS (SELECT doc_id,
               list_transform(tk, s -> {ph2}) AS xs2
        FROM toks),
 bits_t AS (SELECT doc_id, [{bits_list}] AS bits FROM hs),
-banded AS ({banded}),
+banded0 AS ({banded}),
+{_lsh_cap_cte("band, key", max_bucket_size)}
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.bits AS ba, b.bits AS bb
   FROM banded a JOIN banded b
@@ -1297,11 +1320,17 @@ WHERE len(list_filter(generate_series(1, 64), j -> ba[j] <> bb[j])) <= {max_hamm
 
 
 def _minhash_oracle_sql(
-    k: int = 3, num_perm: int = 64, bands: int = 16, threshold: float = 0.5, seed: int = 1
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 1,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB replica of dedup.minhash_lsh_pairs(portable=True): same
     shingles, same affine MinHash family (literal a/b), same band
-    equality (slice arrays), same exact-Jaccard verify."""
+    equality (slice arrays), optional hot-bucket cap, same exact-Jaccard
+    verify."""
     from geococo_spark.operators.dedup import minhash_params
 
     a, b = minhash_params(num_perm, seed)
@@ -1330,7 +1359,8 @@ hs AS (SELECT doc_id, s, len(s) AS n_sh,
               list_transform(s, g -> {ph} % {_M31}) AS xs
        FROM sh),
 sigs AS (SELECT doc_id, [{sig_list}] AS sig FROM hs),
-banded AS ({banded}),
+banded0 AS ({banded}),
+{_lsh_cap_cte("band, key", max_bucket_size)}
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
@@ -2329,16 +2359,16 @@ per_tile AS (
 SELECT i.tile_id, i.image_seq, p.n_anns, p.cats, p.min_ann_id, p.max_ann_id
 FROM imgs i JOIN per_tile p ON i.tile_id = p.tile_id
 """,
-        "q_simhash": _simhash_oracle_sql(max_hamming=3),
+        "q_simhash": _simhash_oracle_sql(max_hamming=3, max_bucket_size=64),
         "q_minhash_lsh": _minhash_oracle_sql(
-            k=3, num_perm=64, bands=16, threshold=0.5, seed=1
+            k=3, num_perm=64, bands=16, threshold=0.5, seed=1, max_bucket_size=64
         ),
         # connected components over the minhash pair graph: symmetric
         # edge closure, recursive-CTE reachability, component minimum —
         # the exact semantics of dedup.duplicate_clusters' min-label
         # propagation fixpoint
         "q_dedup_clusters": f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle_sql(k=3, num_perm=64, bands=16, threshold=0.5, seed=1)}),
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql(k=3, num_perm=64, bands=16, threshold=0.5, seed=1, max_bucket_size=64)}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -2352,7 +2382,7 @@ SELECT v AS doc_id, least(v, min(r)) AS cluster_id FROM reach GROUP BY v
         # corpus compaction: keep the cluster-minimum member of every
         # duplicate cluster + all unclustered docs (deduplicate_corpus)
         "q_dedup_apply": f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle_sql(k=3, num_perm=64, bands=16, threshold=0.5, seed=1)}),
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql(k=3, num_perm=64, bands=16, threshold=0.5, seed=1, max_bucket_size=64)}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION

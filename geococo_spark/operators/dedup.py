@@ -212,6 +212,25 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 1):
     return _sig
 
 
+def _cap_hot_buckets(banded: DataFrame, keys: list, max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket_size`` members
+    BEFORE the self-join (VERDICT r06 #2, same shape as
+    similarity.neardup_candidate_ids): a boilerplate bucket of n docs
+    otherwise expands to n^2/2 candidate rows — the adversarial 100 TB
+    case (10^6 identical license headers -> 5*10^11 pairs from ONE
+    bucket). One extra groupBy-count + equi-join on the bucket key;
+    ``None`` keeps every bucket."""
+    if max_bucket_size is None:
+        return banded
+    keep = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(keep, keys)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -222,17 +241,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 1,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
     shingle -> minhash signature (Arrow batch) -> band buckets ->
-    bucket-equi-join -> exact Jaccard on candidates only.
+    [hot-bucket cap] -> bucket-equi-join -> exact Jaccard on candidates.
 
     ``portable=True`` swaps the shingle hash from ``xxhash64`` (fast,
     Spark-only) to :func:`portable_hash60` ``% M31`` (md5-based,
     reproducible in DuckDB) so the whole candidate set — and therefore
     the output — is verifiable by the ANSI-SQL oracle. The plan shape
     (banding, bucket join, verify) is identical in both modes.
+
+    ``max_bucket_size`` (VERDICT r06 #2) bounds the self-join blow-up on
+    boilerplate-heavy corpora: any (band, bucket) group larger than the
+    cap is dropped from candidate generation (see
+    :func:`_cap_hot_buckets`). Near-dup recall is preserved by the
+    OTHER bands (a pair sharing one oversize bucket usually shares a
+    smaller one too); exact duplicates should be removed by
+    :func:`exact_duplicates` first — that is the pipeline order.
     """
     rows_per_band = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm=num_perm, seed=seed)
@@ -273,6 +301,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     cand_ids = (
         banded.alias("a")
@@ -363,12 +392,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
     Banding: 64 bits split into (max_hamming+1) bands — any pair within
     the distance budget must agree exactly on >= 1 band (pigeonhole), so
     candidates come from band-equi-joins, never a cross join.
+
+    ``max_bucket_size`` (VERDICT r06 #2) drops oversize (band, key)
+    buckets before the self-join — the adversarial case here is
+    token-less/near-empty documents, which all hash to simhash 0 and
+    land in ONE bucket per band (n^2/2 candidates). Unlike minhash, a
+    dropped band here CAN lose pairs whose other bands differ; the cap
+    trades that recall for a hard bound on join fan-out, and the
+    pipeline removes exact duplicates first.
     """
     nb = max_hamming + 1
     width = 64 // nb
@@ -394,6 +432,7 @@ def simhash_pairs(
     banded = sh.select("doc", "simhash", bands_col).select(
         "doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
     )
+    banded = _cap_hot_buckets(banded, ["band", "key"], max_bucket_size)
     cand = (
         banded.alias("a")
         .join(

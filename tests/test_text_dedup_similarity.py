@@ -242,6 +242,54 @@ class TestMinHashLSH:
         rows = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
         assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
 
+    def test_hot_bucket_cap_boilerplate(self, spark):
+        """VERDICT r06 #2: a block of identical boilerplate docs shares
+        ALL its band buckets — uncapped the bucket self-join emits
+        O(n^2) candidate rows before the Jaccard verify. With
+        max_bucket_size those buckets drop out; a genuinely-near-dup
+        pair living in small buckets is still found, and a cap above
+        every bucket size is a no-op."""
+        base = "p0 " + " ".join(f"tok{i}" for i in range(40))
+        mut = "p0 " + " ".join(f"tok{i}" if i != 20 else "XXX" for i in range(40))
+        boiler = "license header " + " ".join(f"b{i}" for i in range(30))
+        rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=mut)]
+        rows += [Row(doc_id=100 + i, text=boiler) for i in range(40)]
+        df = spark.createDataFrame(rows)
+
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                df, threshold=0.5, max_bucket_size=10
+            ).collect()
+        }
+        assert (1, 2) in uncapped and len(uncapped) == 1 + 40 * 39 // 2
+        assert capped == {(1, 2)}
+        loose = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                df, threshold=0.5, max_bucket_size=1000
+            ).collect()
+        }
+        assert loose == uncapped
+
+    def test_hot_bucket_cap_bounds_large_block(self, spark):
+        """The 100 TB shape at test scale: 2000 identical docs would be
+        ~2M candidate pairs uncapped (x16 bands before dedup); with the
+        cap the join fan-out is bounded and the run stays fast — the
+        planted pair is still the ONLY output."""
+        base = "p0 " + " ".join(f"tok{i}" for i in range(40))
+        mut = "p0 " + " ".join(f"tok{i}" if i != 20 else "XXX" for i in range(40))
+        boiler = "license header " + " ".join(f"b{i}" for i in range(30))
+        rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=mut)]
+        rows += [Row(doc_id=100 + i, text=boiler) for i in range(2000)]
+        df = spark.createDataFrame(rows)
+        got = dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=16).collect()
+        assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
 
 class TestSimHash:
     def test_identical_distance_zero(self, spark):
@@ -259,6 +307,38 @@ class TestSimHash:
             ]
         )
         assert dedup.simhash_pairs(df, max_hamming=3).count() == 0
+
+    def test_hot_bucket_cap_tokenless(self, spark):
+        """VERDICT r06 #2 (simhash degenerate case): token-less docs all
+        get simhash 0 and land in ONE bucket per band — uncapped that is
+        n^2/2 candidates from a single key. With max_bucket_size the
+        zero bucket is dropped; a planted near-identical pair in small
+        buckets survives, and an oversized cap is a no-op."""
+        rows = [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),
+        ]
+        rows += [Row(doc_id=100 + i, text="   ") for i in range(40)]
+        df = spark.createDataFrame(rows)
+
+        uncapped = {
+            (r.id_a, r.id_b) for r in dedup.simhash_pairs(df, max_hamming=3).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_pairs(
+                df, max_hamming=3, max_bucket_size=10
+            ).collect()
+        }
+        assert (1, 2) in uncapped and len(uncapped) == 1 + 40 * 39 // 2
+        assert capped == {(1, 2)}
+        loose = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_pairs(
+                df, max_hamming=3, max_bucket_size=1000
+            ).collect()
+        }
+        assert loose == uncapped
 
 
 class TestSimilarity:
