@@ -153,11 +153,32 @@ def _scanline_fill(mask: np.ndarray, rings_px: list[np.ndarray], minr: int, maxr
 
 
 def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(starts, counts) -> (parent_index, start+offset) flat expansion."""
-    total = int(counts.sum())
-    parent = np.repeat(np.arange(len(counts)), counts)
-    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-    return parent, starts[parent] + offs
+    """(starts, counts) -> (parent_index, start+offset) flat expansion.
+
+    Single-cumsum form (VERDICT r06 #5): within a run the value steps by
+    +1, at a run boundary it jumps to the next start — so the whole
+    expansion is one cumsum over a delta buffer with len(counts) scatter
+    writes, instead of two ``np.repeat`` passes + an arange. The parent
+    index is a second cumsum over a 0/1 step vector. Zero-count runs are
+    compressed out first so boundary positions are strictly increasing
+    (scatter assignment would silently drop colliding writes).
+    """
+    nzi = np.flatnonzero(counts > 0)
+    if nzi.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    c = counts[nzi]
+    s = starts[nzi]
+    cs = np.cumsum(c)
+    total = int(cs[-1])
+    bnd = cs[:-1]
+    step = np.zeros(total, dtype=np.int64)
+    step[bnd] = 1
+    parent = nzi[np.cumsum(step)]
+    delta = np.ones(total, dtype=np.int64)
+    delta[0] = s[0]
+    delta[bnd] = s[1:] - s[:-1] - c[:-1] + 1
+    return parent, np.cumsum(delta)
 
 
 def _supercover_mark_all(mask: np.ndarray, rings_px: list[np.ndarray]) -> None:

@@ -185,7 +185,6 @@ def run_tile_kernel(
         if want_phases:
             acc[name].add(int((t_end - t_start) * 1e6))
 
-    out: list[dict] = []
     if len(image_pdf) == 0 or len(pairs_pdf) == 0:
         return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
     img = image_pdf.iloc[0]
@@ -280,7 +279,19 @@ def run_tile_kernel(
     p_h = pairs_pdf["height"].to_numpy(dtype=np.int64)
     p_li = pairs_pdf["label_idx"].to_numpy(dtype=np.int64)
     p_cat = pairs_pdf["id"].to_numpy(dtype=np.int64)
-    tile_names = np.empty(npairs, dtype=object)
+
+    # tile rows accumulate as parallel scalar lists (few per group) —
+    # never dicts: the combined output frame is assembled column-wise so
+    # no column ever becomes object dtype except the genuinely-object
+    # ones (image_key, payload bytes) — see KERNEL_OUT in schemas.py
+    t_co: list[int] = []
+    t_ro: list[int] = []
+    t_w: list[int] = []
+    t_h: list[int] = []
+    t_tw: list[int] = []
+    t_th: list[int] = []
+    t_bytes: list[bytes | None] = []
+    t_names: list[str] = []
 
     for (col_off, row_off, width, height), group in pairs_pdf.groupby(
         ["col_off", "row_off", "width", "height"], sort=False
@@ -295,40 +306,22 @@ def run_tile_kernel(
             window_image = codec.reshape_image(window_image, window_shape, nodata_value)
         # R4: normalize (uint8 passthrough)
         window_image = codec.normalize_minmax_uint8(window_image)
-        # R8/X2: encode tile + reference filename
-        tile_name = f"{col_off}_{row_off}_{width}_{height}"
+        # R8/X2: encode tile (the reference filename col_row_w_h is
+        # derived JVM-side from the window columns — identical string,
+        # zero per-row Python strings over the Arrow boundary)
         tile_bytes = codec.encode_image(window_image, out_fmt)
 
+        bump("tiles_generated", 1)
+        t_co.append(col_off)
+        t_ro.append(row_off)
+        t_w.append(width)
+        t_h.append(height)
         # the written tile has width=shape[1], height=shape[2]
         # (coco_processing.py:136-141); mask grid is (rows=height, cols=width)
-        tile_w = int(window_image.shape[1])
-        tile_h = int(window_image.shape[2])
-
-        bump("tiles_generated", 1)
-        out.append(
-            {
-                "row_type": "tile",
-                "image_key": image_key,
-                "tile_name": tile_name,
-                "col_off": col_off,
-                "row_off": row_off,
-                "width": width,
-                "height": height,
-                "tile_width": tile_w,
-                "tile_height": tile_h,
-                "tile_bytes": tile_bytes,
-                "caption": caption,
-                "label_idx": None,
-                "category_id": None,
-                "rle_size": None,
-                "rle_counts": None,
-                "area": None,
-                "bbox": None,
-                "iscrowd": None,
-            }
-        )
-
-        tile_names[group.index.to_numpy()] = tile_name
+        t_tw.append(int(window_image.shape[1]))
+        t_th.append(int(window_image.shape[2]))
+        t_bytes.append(tile_bytes)
+        t_names.append(f"{col_off}_{row_off}_{width}_{height}")
         if want_phases:
             phase("kernel_tile_us", _t0, _ptime.perf_counter())
 
@@ -390,7 +383,8 @@ def run_tile_kernel(
     ann_pairs = P[emitted]
     bump("masks_empty", int((~ok).sum()) + int((~emitted).sum()))
     bump("annotations_emitted", len(ann_pairs))
-    if len(ann_pairs):
+    n_a = len(ann_pairs)
+    if n_a:
         # tile-space pixel coords (candidates stay (col,row)-sorted per
         # pair, so the column-major RLE order is preserved); per-pair
         # offsets precomputed small so every per-pixel op stays 4-byte
@@ -401,74 +395,86 @@ def run_tile_kernel(
         trow = sel_rows + offr[cand_par]
         flat_idx = tcol * ph_p[cand_par] + trow
         ann_counts = pix_per_pair[emitted]
-        ann_starts = np.zeros(len(ann_pairs) + 1, dtype=np.int64)
+        ann_starts = np.zeros(n_a + 1, dtype=np.int64)
         np.cumsum(ann_counts, out=ann_starts[1:])
         first = ann_starts[:-1]
         last = ann_starts[1:] - 1
-        # R6 — cv2.boundingRect [x, y, w, h] semantics
-        by = np.minimum.reduceat(trow, first)
-        bh = np.maximum.reduceat(trow, first) - by + 1
-        bbox_l = np.column_stack(
-            [tcol[first], by, tcol[last] - tcol[first] + 1, bh]
-        ).tolist()
+        # R6 — cv2.boundingRect [x, y, w, h] semantics, four int columns
+        # (a list column crosses Arrow as 1M Python list objects)
+        a_by = np.minimum.reduceat(trow, first).astype(np.float64)
+        a_bh = np.maximum.reduceat(trow, first).astype(np.float64) - a_by + 1
+        a_bx = tcol[first].astype(np.float64)
+        a_bw = (tcol[last] - tcol[first] + 1).astype(np.float64)
         # R5: batched COCO RLE straight from the set-pixel indices
         counts_arr, cstarts = rle.indices_to_counts_batch(
             flat_idx, ann_starts, (p_w * p_h)[ann_pairs]
         )
         rle_strs = rle.counts_to_strings_batch(counts_arr, cstarts)
-        ann_df = pd.DataFrame(
-            {
-                "row_type": "ann",
-                "image_key": image_key,
-                "tile_name": tile_names[ann_pairs],
-                "col_off": p_co[ann_pairs],
-                "row_off": p_ro[ann_pairs],
-                "width": p_w[ann_pairs],
-                "height": p_h[ann_pairs],
-                "tile_width": p_w[ann_pairs],
-                "tile_height": p_h[ann_pairs],
-                "tile_bytes": None,
-                "caption": None,
-                "label_idx": p_li[ann_pairs],
-                "category_id": p_cat[ann_pairs],
-                "rle_size": pd.Series(
-                    np.column_stack([p_h[ann_pairs], p_w[ann_pairs]]).tolist()
-                ),
-                "rle_counts": pd.Series(rle_strs),
-                "area": pix_per_pair[emitted].astype(np.float64),  # A4
-                "bbox": pd.Series(bbox_l),
-                "iscrowd": (gtypes[lpos[ann_pairs]] == 6).astype(np.int64),  # R7
-            }
-        )
-    else:
-        ann_df = None
     if want_phases:
         phase("kernel_ann_us", _t0, _ptime.perf_counter())
     if tile_sink_dir is not None:
         _t0 = _ptime.perf_counter() if want_phases else 0.0
         band = int(img["band"]) if "band" in image_pdf.columns else 0
         payload = [
-            (r["image_key"], r["tile_name"], r["tile_bytes"], r["caption"])
-            for r in out
-            if r["row_type"] == "tile"
+            (image_key, t_names[i], t_bytes[i], caption) for i in range(len(t_names))
         ]
         if payload:
             sink_tile_payload(tile_sink_dir, image_key, band, payload)
-        for r in out:
-            if r["row_type"] == "tile":
-                r["tile_bytes"] = None
-                r["caption"] = None
+        t_bytes = [None] * len(t_bytes)
+        caption = None
         if want_phases:
             phase("kernel_sink_us", _t0, _ptime.perf_counter())
-    cols = [f.name for f in _kernel_fields()]
-    tile_df = pd.DataFrame(out, columns=cols)
-    if ann_df is None or len(ann_df) == 0:
-        return tile_df
-    # column-wise concat: the DataFrame-level concat of an all-NA object
-    # column (tile rows' label_idx etc.) with an int64 column trips a
-    # pandas FutureWarning; per-Series concat has stable semantics
+
+    # ---- column-wise output assembly (KERNEL_OUT) ----
+    # Nullable numerics ride as float64 with NaN (Arrow turns NaN into
+    # null and safely casts the integral values) — the only object
+    # columns are the strings/bytes that are object by nature.
+    n_t = len(t_co)
+    total = n_t + n_a
+
+    def _nullable(ann_vals: np.ndarray) -> np.ndarray:
+        colv = np.full(total, np.nan, dtype=np.float64)
+        if n_a:
+            colv[n_t:] = ann_vals
+        return colv
+
+    is_tile = np.zeros(total, dtype=bool)
+    is_tile[:n_t] = True
+    tw = np.empty(total, dtype=np.int64)
+    th = np.empty(total, dtype=np.int64)
+    tw[:n_t] = t_tw
+    th[:n_t] = t_th
+    objs = np.empty(total, dtype=object)
+    objs[:n_t] = t_bytes
+    caps = np.full(total, None, dtype=object)
+    caps[:n_t] = caption
+    rles = np.full(total, None, dtype=object)
+    if n_a:
+        tw[n_t:] = p_w[ann_pairs]
+        th[n_t:] = p_h[ann_pairs]
+        rles[n_t:] = rle_strs
     return pd.DataFrame(
-        {c: pd.concat([tile_df[c], ann_df[c]], ignore_index=True) for c in cols}
+        {
+            "is_tile": is_tile,
+            "image_key": np.full(total, image_key, dtype=object),
+            "col_off": np.concatenate([np.asarray(t_co, np.int64), p_co[ann_pairs]]),
+            "row_off": np.concatenate([np.asarray(t_ro, np.int64), p_ro[ann_pairs]]),
+            "width": np.concatenate([np.asarray(t_w, np.int64), p_w[ann_pairs]]),
+            "height": np.concatenate([np.asarray(t_h, np.int64), p_h[ann_pairs]]),
+            "tile_width": tw,
+            "tile_height": th,
+            "tile_bytes": objs,
+            "caption": caps,
+            "label_idx": _nullable(p_li[ann_pairs]),
+            "category_id": _nullable(p_cat[ann_pairs]),
+            "rle_counts": rles,
+            "area": _nullable(pix_per_pair[emitted]),  # A4
+            "bbox_x": _nullable(a_bx) if n_a else _nullable(np.empty(0)),
+            "bbox_y": _nullable(a_by) if n_a else _nullable(np.empty(0)),
+            "bbox_w": _nullable(a_bw) if n_a else _nullable(np.empty(0)),
+            "bbox_h": _nullable(a_bh) if n_a else _nullable(np.empty(0)),
+            "iscrowd": _nullable((gtypes[lpos[ann_pairs]] == 6).astype(np.int64)),  # R7
+        }
     )
 
 

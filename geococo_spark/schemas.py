@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -72,12 +73,21 @@ CATEGORIES = StructType(
     ]
 )
 
-# fused kernel output (tile rows + annotation rows, SURVEY.md §3.2 ⑩-㉓)
+# fused kernel output (tile rows + annotation rows, SURVEY.md §3.2 ⑩-㉓).
+# Arrow-payload-trimmed (VERDICT r06 #1): at 1M annotations the kernel
+# stage spent ~75% of its slot time outside the kernel body, dominated
+# by serializing the result back to the JVM. Derivable columns stay
+# JVM-side — tile_name = concat_ws("_", col_off, row_off, width,
+# height) and rle_size = [height, width] are rebuilt by the pipeline —
+# the bbox list is four int scalars (list columns cross Arrow as
+# per-element Python objects), and row_type shrank to a boolean. All
+# nullable numerics are emitted as float64-with-NaN numpy columns, never
+# object columns (the old per-column tile/ann concat made every mixed
+# column object dtype — 1M Python boxes per column per batch).
 KERNEL_OUT = StructType(
     [
-        StructField("row_type", StringType(), False),  # 'tile' | 'ann'
+        StructField("is_tile", BooleanType(), False),  # tile row | ann row
         StructField("image_key", StringType(), False),  # source image_id
-        StructField("tile_name", StringType(), False),
         StructField("col_off", LongType(), False),
         StructField("row_off", LongType(), False),
         StructField("width", LongType(), False),
@@ -88,10 +98,12 @@ KERNEL_OUT = StructType(
         StructField("caption", StringType(), True),
         StructField("label_idx", LongType(), True),
         StructField("category_id", IntegerType(), True),
-        StructField("rle_size", ArrayType(IntegerType()), True),
         StructField("rle_counts", BinaryType(), True),
         StructField("area", DoubleType(), True),
-        StructField("bbox", ArrayType(IntegerType()), True),
+        StructField("bbox_x", IntegerType(), True),
+        StructField("bbox_y", IntegerType(), True),
+        StructField("bbox_w", IntegerType(), True),
+        StructField("bbox_h", IntegerType(), True),
         StructField("iscrowd", IntegerType(), True),
     ]
 )

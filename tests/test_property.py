@@ -567,6 +567,27 @@ class TestRasterizeProperties:
         assert y >= np.floor(-smaxy) - 1 and y + h <= np.ceil(-sminy) + 1
 
 
+class TestExpandRangesEquivalence:
+    @NO_DEADLINE
+    @given(st.lists(st.tuples(st.integers(-100, 100), st.integers(0, 30)), max_size=60))
+    def test_matches_repeat_reference(self, runs):
+        # the single-cumsum expansion (VERDICT r06 #5) must be bit-exact
+        # vs the original two-np.repeat formulation, zero counts included
+        starts = np.array([s for s, _ in runs], dtype=np.int64)
+        counts = np.array([c for _, c in runs], dtype=np.int64)
+        parent, vals = rasterize._expand_ranges(starts, counts)
+        ref_parent = np.repeat(np.arange(len(counts)), counts)
+        ref_offs = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        assert parent.dtype == np.int64 and vals.dtype == np.int64
+        np.testing.assert_array_equal(parent, ref_parent)
+        if len(ref_parent):
+            np.testing.assert_array_equal(vals, starts[ref_parent] + ref_offs)
+        else:
+            assert vals.size == 0
+
+
 class TestGridArangeProperty:
     @NO_DEADLINE
     @given(

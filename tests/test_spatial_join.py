@@ -202,6 +202,34 @@ class TestKnn:
         assert got[1].knn_distance == pytest.approx(69.0, abs=0.2)
         assert 2 not in got
 
+    def test_knn_escalation_durable_checkpoint(self, spark, tmp_path):
+        # VERDICT r06 #3: the escalation loop's per-pass lineage cut can
+        # be a durable parquet round-trip; identical assignments to the
+        # localCheckpoint default, and the pass parquet lands on disk
+        labels = make_labels(
+            spark, [(35.0, -10.0), (100.0, -10.0)], [1.0, 1.0]
+        )
+        tiles = make_tiles(spark, 3, 10.0)
+        ckdir = str(tmp_path / "knn_ck")
+        got = {
+            (r.label_id, r.tile_id, r.knn_rank): round(r.knn_distance, 9)
+            for r in knn.knn_assign(
+                labels, tiles, cell_size=10.0, k=1, rings=2, escalate=True,
+                max_rings=64, checkpoint_dir=ckdir,
+            ).collect()
+        }
+        want = {
+            (r.label_id, r.tile_id, r.knn_rank): round(r.knn_distance, 9)
+            for r in knn.knn_assign(
+                labels, tiles, cell_size=10.0, k=1, rings=2, escalate=True,
+                max_rings=64,
+            ).collect()
+        }
+        assert got == want
+        import os
+
+        assert os.path.exists(os.path.join(ckdir, "knn_rings_2"))
+
     def test_knn_k2(self, spark):
         labels = make_labels(spark, [(5.0, -5.0)], [1.0])
         tiles = make_tiles(spark, 3, 10.0)

@@ -644,6 +644,28 @@ class TestDuplicateClusters:
         with pytest.raises(RuntimeError, match="not converged"):
             dedup.duplicate_clusters(pairs, max_iters=2)
 
+    def test_durable_checkpoint_path(self, spark, tmp_path):
+        # VERDICT r06 #3: with checkpoint_dir the per-round lineage cut
+        # is a reliable parquet round-trip (recomputable after executor
+        # loss), not localCheckpoint. Same fixpoint as the default path,
+        # through enough rounds to exercise the alternating slots AND
+        # the pointer-jump escalation; the round parquet must exist.
+        edges = [(i, i + 1) for i in range(24)] + [(100, 101), (101, 102)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ckdir = str(tmp_path / "cc_ck")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(
+                pairs, max_iters=12, checkpoint_dir=ckdir
+            ).collect()
+        }
+        assert got == self._reference_cc(edges)
+        import os
+
+        assert os.path.exists(os.path.join(ckdir, "cc_edges"))
+        assert os.path.exists(os.path.join(ckdir, "cc_round_0"))
+        assert os.path.exists(os.path.join(ckdir, "cc_round_1"))
+
     def test_end_to_end_minhash_clusters(self, docs):
         # the production shape: minhash pairs -> transitive clusters;
         # every clustered doc's cluster head is a real doc id and the

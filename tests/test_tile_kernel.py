@@ -75,11 +75,11 @@ def _pairs_pdf(rings: list[np.ndarray], tiles: list[tuple]) -> pd.DataFrame:
 
 def _kernel_masks(transform, rings, tiles):
     out = run_tile_kernel(_image_pdf(transform), _pairs_pdf(rings, tiles))
-    anns = out[out["row_type"] == "ann"]
+    anns = out[~out["is_tile"]]
     masks = {}
     for _, r in anns.iterrows():
         masks[(r["col_off"], r["row_off"])] = rle.decode(
-            {"size": list(r["rle_size"]), "counts": bytes(r["rle_counts"])}
+            {"size": [int(r["height"]), int(r["width"])], "counts": bytes(r["rle_counts"])}
         )
     return masks
 
@@ -119,10 +119,10 @@ def test_south_up_mirrors_north_up_area():
     tiles = [(0, 0, W, H)]
     north = run_tile_kernel(_image_pdf((1.0, 0.0, 0.0, 0.0, -1.0, 0.0)), _pairs_pdf(rings, tiles))
     south = run_tile_kernel(_image_pdf((1.0, 0.0, 0.0, 0.0, 1.0, -64.0)), _pairs_pdf(rings, tiles))
-    na = north[north["row_type"] == "ann"].iloc[0]
-    sa = south[south["row_type"] == "ann"].iloc[0]
+    na = north[~north["is_tile"]].iloc[0]
+    sa = south[~south["is_tile"]].iloc[0]
     assert na["area"] == sa["area"] > 0
-    nx, ny, nw, nh = na["bbox"]
-    sx, sy, sw, sh = sa["bbox"]
+    nx, ny, nw, nh = (na["bbox_x"], na["bbox_y"], na["bbox_w"], na["bbox_h"])
+    sx, sy, sw, sh = (sa["bbox_x"], sa["bbox_y"], sa["bbox_w"], sa["bbox_h"])
     assert (nx, nw, nh) == (sx, sw, sh)
     assert sy == H - (ny + nh)

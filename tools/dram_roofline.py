@@ -120,7 +120,7 @@ def _kernel_worker(args):
 
     image_pdf, pairs_pdf = _kernel_inputs()
     out = run_tile_kernel(image_pdf, pairs_pdf)  # warmup (incl. decode-cache fill)
-    ann = out[out["row_type"] == "ann"]
+    ann = out[~out["is_tile"]]
     pixels = float(ann["area"].sum())
     n_anns = int(len(ann))
     barrier.wait()
