@@ -155,30 +155,24 @@ def _scanline_fill(mask: np.ndarray, rings_px: list[np.ndarray], minr: int, maxr
 def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(starts, counts) -> (parent_index, start+offset) flat expansion.
 
-    Single-cumsum form (VERDICT r06 #5): within a run the value steps by
-    +1, at a run boundary it jumps to the next start — so the whole
-    expansion is one cumsum over a delta buffer with len(counts) scatter
-    writes, instead of two ``np.repeat`` passes + an arange. The parent
-    index is a second cumsum over a 0/1 step vector. Zero-count runs are
-    compressed out first so boundary positions are strictly increasing
-    (scatter assignment would silently drop colliding writes).
+    Fused-addend form: value[i] = i + (starts - cumsum(counts) +
+    counts)[parent[i]], so the per-element work is one arange plus one
+    repeated addend — the ``starts[parent]`` gather and the second
+    subtraction pass of the naive formulation are folded into the
+    small per-run addend before it is repeated. Measured 0.77x of the
+    two-repeat+gather form isolated, burn phase 0.977x, bit-exact
+    against it (tools/ab_expand_ranges_r7.py; the single-cumsum
+    delta-scatter rewrite suggested by VERDICT r06 #5 measured SLOWER
+    — 1.16-1.49x isolated, burn 1.05-1.08x — and was rejected).
     """
-    nzi = np.flatnonzero(counts > 0)
-    if nzi.size == 0:
+    if len(counts) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z
-    c = counts[nzi]
-    s = starts[nzi]
-    cs = np.cumsum(c)
+    cs = np.cumsum(counts)
     total = int(cs[-1])
-    bnd = cs[:-1]
-    step = np.zeros(total, dtype=np.int64)
-    step[bnd] = 1
-    parent = nzi[np.cumsum(step)]
-    delta = np.ones(total, dtype=np.int64)
-    delta[0] = s[0]
-    delta[bnd] = s[1:] - s[:-1] - c[:-1] + 1
-    return parent, np.cumsum(delta)
+    parent = np.repeat(np.arange(len(counts)), counts)
+    vals = np.arange(total) + np.repeat(starts - cs + counts, counts)
+    return parent, vals
 
 
 def _supercover_mark_all(mask: np.ndarray, rings_px: list[np.ndarray]) -> None:
