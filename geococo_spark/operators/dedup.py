@@ -470,6 +470,7 @@ def duplicate_clusters(
     max_iters: int = 50,
     jump_after: int | None = 4,
     checkpoint_dir: str | None = None,
+    steps_per_round: int = 1,
 ) -> DataFrame:
     """Resolve duplicate PAIRS into duplicate CLUSTERS — connected
     components over the pair graph, labeling every member with the
@@ -477,12 +478,25 @@ def duplicate_clusters(
     production dedup pipeline runs after minhash/simhash/embedding
     candidates: transitive groups, not pairs, decide what to keep.
 
-    Distributed shape: iterative min-label propagation — per round ONE
+    Distributed shape: iterative min-label propagation — per step ONE
     keyed join (labels onto edges) + ONE groupBy min + a least() merge,
     no collect, no driver graph; convergence is a filter-count over the
-    round's checkpointed output. Rounds needed = the component diameter
-    for plain propagation — near-dup clusters are shallow, so the first
-    ``jump_after`` rounds run the cheap plan. If the graph is deeper
+    round's checkpointed output. ``steps_per_round`` propagation steps
+    can be FUSED into each materialized round: the intermediate
+    labeling stays a plan, so a round covers ``steps_per_round`` hops
+    while paying ONE materialization + ONE convergence observe. Fusing
+    is fixpoint-neutral (min-label propagation is monotone decreasing
+    over reachable labels; if a fused round changes nothing, each inner
+    step changed nothing) — but it MEASURED SLOWER on the bench-shaped
+    sf0.1 graph (tools/ab_cc_fused_r7.py: 1.34x localCheckpoint path,
+    1.30x durable path): the unmaterialized intermediate labeling is
+    referenced twice per extra step (as the next step's join input AND
+    the least() base) and recomputed each time, which costs more than
+    the saved round constants on shallow graphs. Default stays 1; the
+    knob remains for deep-graph regimes where round-trip latency (e.g.
+    a remote checkpoint store) dominates recompute. Plain-propagation
+    rounds needed = diameter / steps_per_round — near-dup clusters are
+    shallow, so the first ``jump_after`` rounds run the cheap plan. If the graph is deeper
     than that (chain-shaped components — the 100 TB adversarial case),
     every later round ALSO pointer-jumps (``lab[lab[v]]`` via one extra
     label self-join), which doubles the propagation distance per round:
@@ -515,48 +529,53 @@ def duplicate_clusters(
         "cc_edges",
     )
     lab = edges.select(F.col("src").alias("v")).distinct().withColumn("lab", F.col("v"))
+    steps_per_round = max(1, int(steps_per_round))
     for it in range(max_iters):
-        if it == 0:
-            # round 1: labels ARE the vertex ids, so the min neighbor
-            # label is just min(src) per dst — the label join is dead
-            nmin = edges.groupBy(F.col("dst").alias("v")).agg(F.min("src").alias("nlab"))
-        else:
-            nmin = (
-                edges.join(lab.withColumnRenamed("v", "src"), "src")
-                .groupBy(F.col("dst").alias("v"))
-                .agg(F.min("lab").alias("nlab"))
+        # cur threads (v, old_lab, lab) through the fused steps; old_lab
+        # is the round-start labeling the convergence observe compares
+        # against (round 0 starts from identity, so old_lab == v there)
+        cur = lab.select("v", F.col("lab").alias("old_lab"), "lab")
+        for s in range(steps_per_round):
+            if it == 0 and s == 0:
+                # round 1 step 1: labels ARE the vertex ids, so the min
+                # neighbor label is just min(src) per dst — the label
+                # join is dead
+                nmin = edges.groupBy(F.col("dst").alias("v")).agg(
+                    F.min("src").alias("nlab")
+                )
+            else:
+                nmin = (
+                    edges.join(cur.select(F.col("v").alias("src"), "lab"), "src")
+                    .groupBy(F.col("dst").alias("v"))
+                    .agg(F.min("lab").alias("nlab"))
+                )
+            cur = cur.join(nmin, "v", "left").select(
+                "v",
+                "old_lab",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
             )
-        base = lab.join(nmin, "v", "left")
         if jump_after is not None and it >= jump_after:
             # pointer jump: lab[lab[v]] — one label self-join keyed on
             # the label value; doubles propagation distance per round
-            jump = lab.select(
-                F.col("v").alias("__jk"), F.col("lab").alias("jlab")
+            jump = lab.select(F.col("v").alias("__jk"), F.col("lab").alias("jlab"))
+            cur = (
+                cur.join(jump, F.col("lab") == F.col("__jk"), "left")
+                .drop("__jk")
+                .select(
+                    "v",
+                    "old_lab",
+                    F.least(F.col("lab"), F.coalesce("jlab", "lab")).alias("lab"),
+                )
             )
-            base = base.join(jump, F.col("lab") == F.col("__jk"), "left").drop("__jk")
-            new_lab = F.least(
-                F.col("lab"), F.coalesce("nlab", "lab"), F.coalesce("jlab", "lab")
-            )
-        else:
-            new_lab = F.least(F.col("lab"), F.coalesce("nlab", "lab"))
         # the changed-label count is observed DURING the round's
         # materialization job (CollectMetricsExec inside the same plan)
         # — convergence needs no second action over the output
         obs = Observation(f"cc_changed_{it}")
         merged = materialize(
-            base.select("v", new_lab.alias("lab")).observe(
-                obs,
-                F.sum((F.col("lab") != F.col("v")).cast("long")).alias("_"),
-            )
-            if it == 0
-            # round 0 starts from identity labels, so "changed" is just
-            # lab != v; later rounds carry old_lab through the select
-            else base.select(
-                "v", F.col("lab").alias("old_lab"), new_lab.alias("lab")
-            ).observe(
+            cur.observe(
                 obs,
                 F.sum((F.col("old_lab") != F.col("lab")).cast("long")).alias("_"),
-            ),
+            ).select("v", "lab"),
             checkpoint_dir,
             f"cc_round_{it % 2}",
         )

@@ -625,6 +625,29 @@ class TestDuplicateClusters:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert dedup.duplicate_clusters(pairs).count() == 0
 
+    def test_steps_per_round_fixpoint_equivalence(self, spark):
+        # fused multi-step rounds are fixpoint-neutral: 1-, 2- and
+        # 3-step rounds must all produce the union-find labeling
+        # (ab_cc_fused_r7.py measured fusion slower, so 1 is the
+        # default — the knob stays correct either way)
+        import random
+
+        rng = random.Random(77)
+        edges = [(i, i + 1) for i in range(15)] + [
+            (rng.randrange(100, 160), rng.randrange(100, 160)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = self._reference_cc(edges)
+        for steps in (1, 2, 3):
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in dedup.duplicate_clusters(
+                    pairs, steps_per_round=steps
+                ).collect()
+            }
+            assert got == want, f"steps_per_round={steps} diverged"
+
     def test_pointer_jump_beats_diameter(self, spark):
         # a 40-edge chain: plain min-label needs ~diameter rounds, so it
         # must raise at max_iters=12 with jumping disabled but converge
