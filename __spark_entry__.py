@@ -842,6 +842,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.duplicate_clusters(pairs)
 
+    def q_cc_chain(spark, sf_dir):
+        # round 7: deep-chain connected components — doc_ids are dense
+        # 0..N-1, so linking consecutive ids inside blocks of 120 builds
+        # chains of diameter 119: plain min-label propagation would need
+        # ~119 rounds, so the pointer-jump escalation (jump_after=4,
+        # O(jump_after + log diameter) rounds) is the path under test.
+        # The oracle is the CLOSED FORM (cluster = chain minimum =
+        # 120*floor(doc_id/120)) — independent of the propagation
+        # algorithm, unlike the recursive-CTE replay in q_dedup_clusters.
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        nxt = docs.select(
+            (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+        pairs = (
+            docs.select(F.col("doc_id").alias("id_a"))
+            .where(F.col("id_a") % 120 != 119)
+            .join(nxt, "id_a")  # edge (v, v+1) only where doc v+1 exists
+        )
+        return dedup.duplicate_clusters(pairs)
+
     def q_dedup_apply(spark, sf_dir):
         # round 6: the terminal corpus-compaction stage — keep one
         # canonical doc per duplicate cluster plus every unclustered doc
@@ -1235,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_fallback": q_knn_fallback,
         "q_minhash_lsh": q_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_cc_chain": q_cc_chain,
         "q_dedup_apply": q_dedup_apply,
         "q_simhash": q_simhash,
         "q_embedding_neardup": q_embedding_neardup,
@@ -2378,6 +2399,19 @@ reach AS (
   UNION
   SELECT re.v, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r)
 SELECT v AS doc_id, least(v, min(r)) AS cluster_id FROM reach GROUP BY v
+""",
+        # deep-chain CC: the oracle is the CLOSED FORM of the chain
+        # construction (cluster = chain minimum = 120*floor(doc_id/120)),
+        # not a replay of the propagation — a vertex appears iff it has
+        # at least one edge (a predecessor in its block, or a successor
+        # that exists as a doc)
+        "q_cc_chain": """
+SELECT doc_id,
+       (doc_id // 120) * 120 AS cluster_id
+FROM documents
+WHERE (doc_id % 120) > 0
+   OR ((doc_id % 120) < 119
+       AND doc_id + 1 <= (SELECT max(doc_id) FROM documents))
 """,
         # corpus compaction: keep the cluster-minimum member of every
         # duplicate cluster + all unclustered docs (deduplicate_corpus)
