@@ -559,6 +559,49 @@ def map_kernel(
     return _fn
 
 
+def cogroup_packed_kernel(
+    out_fmt: str = "jpeg",
+    acc: dict | None = None,
+    tile_sink_dir: str | None = None,
+    cache_max_bytes: int | None = None,
+):
+    """Cogroup factory over a PACKED pairs side: one row per
+    (image_id, band) carrying the broadcast-path position-zipped
+    primitive arrays (``p_*``/``g_*``) instead of one row per pair.
+
+    Why: the cogroup kernel stage's wall is dominated by its INPUT
+    row count, not bytes — tools/ab_kernel_floor_r7.py measured the
+    512-image stage floor at ~4 s with 1M per-pair rows vs ~2 s with
+    100k, image payload bytes free in both. Packing moves the per-pair
+    data through the exchange + Arrow boundary as a handful of
+    contiguous arrays per group (the layout map_kernel already proved
+    out), cutting boundary rows ~2000x while keeping the exchange
+    count identical (the packing groupBy hashes on the same
+    (image_id, band) key the cogroup needs). Output is byte-identical
+    to :func:`cogroup_kernel` (pinned by test)."""
+
+    def _fn(image_pdf: pd.DataFrame, packed_pdf: pd.DataFrame) -> pd.DataFrame:
+        import time as _time
+
+        if cache_max_bytes is not None:
+            _decode_cache.set_budget(cache_max_bytes)
+        t0 = _time.perf_counter()
+        if len(image_pdf) == 0 or len(packed_pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in _kernel_fields()])
+        out = run_tile_kernel(
+            image_pdf,
+            pairs_frame_from_arrays(packed_pdf.iloc[0]),
+            out_fmt=out_fmt,
+            acc=acc,
+            tile_sink_dir=tile_sink_dir,
+        )
+        if acc is not None and "kernel_ms" in acc:
+            acc["kernel_ms"].add(int((_time.perf_counter() - t0) * 1000))
+        return out
+
+    return _fn
+
+
 def cogroup_kernel(
     out_fmt: str = "jpeg",
     acc: dict | None = None,

@@ -308,7 +308,17 @@ def append_dataset(
     <= ``broadcast_pairs_rows`` — by default derived from
     ``spark.sql.autoBroadcastJoinThreshold`` and executor/driver memory
     (:func:`auto_broadcast_pairs_rows`, ~48 B/row); pass an int to pin
-    it. Output is byte-identical across modes (pinned by test).
+    it. ``"cogroup_packed"`` (round 7) cogroups like the default but
+    sends the pairs side as ONE row per (image_id, band) of
+    position-zipped primitive arrays — the stage floor is input
+    ROW-count-bound (tools/ab_kernel_floor_r7.py), and packing cuts
+    boundary rows ~2000x at the same exchange count. MEASURED SLOWER
+    locally (tools/ab_cogroup_packed_r7.py: kernel phase 1.46x at
+    p=32, 1.14x at p=8 — the collect_list(struct) packing costs more
+    than the row boundary it saves on a page-cache-local box), so it
+    is never auto-selected; it exists for fabrics where exchange rows
+    are priced differently. Output is byte-identical across all modes
+    (pinned by test).
 
     MEASURED TRADEOFF (round 4, A/B/A at local[32]/1024 images): on a
     single-JVM box the cogroup shuffle of the ~800 MB image bytes is
@@ -678,7 +688,7 @@ def append_dataset(
         pairs_thin = _pairs_thin().localCheckpoint()
     _submark("pairs_spatial")  # grid + join + materialization (sub-reading)
     img_cg, pairs_banded = banded_cogroup_inputs(images, pairs_thin, band_split_pairs)
-    if kernel_input_mode not in ("auto", "broadcast", "cogroup"):
+    if kernel_input_mode not in ("auto", "broadcast", "cogroup", "cogroup_packed"):
         raise ValueError(f"unknown kernel_input_mode: {kernel_input_mode!r}")
     mode = kernel_input_mode
     if mode == "auto":
@@ -705,14 +715,13 @@ def append_dataset(
         import os as _os
 
         _os.makedirs(_os.path.join(tile_sink_dir, "data"), exist_ok=True)
-    if mode == "broadcast":
-        from geococo_spark.kernels.tile_kernel import map_kernel
-
+    def _packed_pair_sides():
         # PRIMITIVE parallel arrays (position-zipped), not arrays of
         # structs: Arrow hands each one to Python as a single numpy
         # vector, where an array<struct> materializes one Python dict
         # per pair — measured as the dominant broadcast-path cost at 2M
-        # pairs before this layout
+        # pairs before this layout. Shared by the broadcast path and
+        # the packed-cogroup path (round 7).
         _ps = F.collect_list(
             F.struct("col_off", "row_off", "width", "height", "label_idx", "id")
         ).alias("_ps")
@@ -741,11 +750,35 @@ def append_dataset(
                 F.col("_gs.geometry").alias("g_geometry"),
             )
         )
+        return pair_structs, geom_structs
+
+    if mode == "broadcast":
+        from geococo_spark.kernels.tile_kernel import map_kernel
+
+        pair_structs, geom_structs = _packed_pair_sides()
         kout = img_cg.join(
             F.broadcast(pair_structs.join(geom_structs, ["image_id", "band"])),
             ["image_id", "band"],
         ).mapInPandas(
             map_kernel(out_fmt, acc, tile_sink_dir, cache_max_bytes), schemas.KERNEL_OUT
+        )
+    elif mode == "cogroup_packed":
+        from geococo_spark.kernels.tile_kernel import cogroup_packed_kernel
+
+        # same exchange count as "cogroup" (the packing groupBy hashes
+        # on the cogroup key), but the per-pair rows never cross the
+        # exchange/Arrow boundary individually — one packed row per
+        # group (tools/ab_kernel_floor_r7.py: the stage floor is input
+        # ROW-count-bound, not byte-bound)
+        pair_structs, geom_structs = _packed_pair_sides()
+        pairs_packed = pair_structs.join(geom_structs, ["image_id", "band"])
+        kout = (
+            img_cg.groupBy("image_id", "band")
+            .cogroup(pairs_packed.groupBy("image_id", "band"))
+            .applyInPandas(
+                cogroup_packed_kernel(out_fmt, acc, tile_sink_dir, cache_max_bytes),
+                schemas.KERNEL_OUT,
+            )
         )
     else:
         pairs_small = _with_geom_rows(pairs_banded)

@@ -340,6 +340,16 @@ class TestKernelScaleShape:
         # auto mode (tiny pair count -> broadcast) stays identical too
         auto = self._run(spark, kernel_input_mode="auto")
         assert _state_snapshot(auto) == base
+        # packed cogroup (round 7): per-pair rows cross the exchange as
+        # position-zipped arrays, output still byte-identical — and it
+        # composes with band splitting + the tile sink
+        packed = self._run(spark, kernel_input_mode="cogroup_packed")
+        assert _state_snapshot(packed) == base
+        packed_both = self._run(
+            spark, kernel_input_mode="cogroup_packed", band_split_pairs=2,
+            tile_sink_dir=str(tmp_path / "cgp_sink"),
+        )
+        assert _state_snapshot(packed_both) == base
 
     def test_broadcast_mode_images_side_unshuffled(self, spark):
         """Plan-level: in broadcast mode the images scan must feed the

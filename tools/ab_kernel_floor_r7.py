@@ -15,10 +15,22 @@ kernel_out pin are identical in every arm):
   empty  — inputs touched, returns zero rows. Stage wall = floor
            (exchange + Arrow-in + worker overhead + pin of nothing).
 
+  tiny   — the fake kernel again, but over a parallel staging of the
+           SAME images table with 1-byte payloads (identical ids and
+           metadata, so pairs/grid/kernel groups are identical; the
+           fake kernel never decodes). Stage wall = floor minus the
+           image-byte shuffle+Arrow volume.
+
 So per arm-pair, in one window:
   compute          = normal - fake
   output transfer  = fake   - empty
   stage floor      = empty
+  image-byte cost  = fake   - tiny   (what shuffle/Arrow of the
+                                      payload bytes contributes; both
+                                      arms run the same fake kernel)
+  machinery        = tiny - output transfer (exchange + worker +
+                                      per-group overhead at ~zero
+                                      payload)
 
 Only the ``kernel`` phase timing is compared (the pipeline forces the
 kernel into its own phase with a count when profiling); downstream
@@ -118,6 +130,14 @@ def main() -> None:
     images = datagen.stage_images_parquet(
         spark, f"{stage}/images_{n_images}", n_images, files=max(8, n_images // 4)
     )
+    tiny_path = f"{stage}/images_tiny_{n_images}"
+    if not os.path.exists(os.path.join(tiny_path, "_SUCCESS")):
+        import pyspark.sql.functions as F
+
+        images.withColumn("bytes", F.lit(b"\x00")).repartition(
+            max(8, n_images // 4)
+        ).write.mode("overwrite").parquet(tiny_path)
+    images_tiny = spark.read.parquet(tiny_path)
     lp = f"{stage}/labels_dense"
     if not os.path.exists(os.path.join(lp, "_SUCCESS")):
         datagen.random_labels_df(spark, 12000, extent=1000.0, seed=9).repartition(
@@ -125,14 +145,14 @@ def main() -> None:
         ).write.mode("overwrite").parquet(lp)
     labels = spark.read.parquet(lp)
 
-    def run_arm(factory) -> float:
+    def run_arm(factory, imgs=None) -> float:
         pipeline.cogroup_kernel = factory
         try:
             timings: dict = {}
             state = CocoState.create(spark)
             try:
                 pipeline.append_dataset(
-                    spark, state, images, labels,
+                    spark, state, imgs if imgs is not None else images, labels,
                     images_dir="bench_images",
                     window_bounds=[(128, 128), (256, 256)],
                     id_attribute="category_id", name_attribute="class_names",
@@ -147,25 +167,30 @@ def main() -> None:
             pipeline.cogroup_kernel = REAL_FACTORY
 
     run_arm(REAL_FACTORY)  # warm plans + python workers
-    arms = {
-        "normal": REAL_FACTORY,
-        "fake": _factory_for(_fake_kernel),
-        "empty": _factory_for(_empty_kernel),
-    }
-    walls: dict[str, list[float]] = {k: [] for k in arms}
+    fake_factory = _factory_for(_fake_kernel)
+    arms = [
+        ("normal", REAL_FACTORY, None),
+        ("fake", fake_factory, None),
+        ("empty", _factory_for(_empty_kernel), None),
+        ("tiny", fake_factory, images_tiny),
+    ]
+    walls: dict[str, list[float]] = {name: [] for name, _, _ in arms}
     for rep in range(reps):
-        for name, fn in arms.items():
-            t = run_arm(fn)
+        for name, fn, imgs in arms:
+            t = run_arm(fn, imgs)
             walls[name].append(round(t, 3))
             print(f"# rep={rep} {name}={t:.3f}", flush=True)
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-    n, f, e = med(walls["normal"]), med(walls["fake"]), med(walls["empty"])
+    n, f, e, ty = (med(walls[k]) for k in ("normal", "fake", "empty", "tiny"))
     print(json.dumps({
         "cores": cores, "n_images": n_images, "reps": walls,
         "stage_normal_s": n, "stage_fake_s": f, "stage_empty_s": e,
+        "stage_tiny_s": ty,
         "floor_s": e,
         "output_transfer_s": round(f - e, 3),
         "compute_s": round(n - f, 3),
+        "image_bytes_cost_s": round(f - ty, 3),
+        "machinery_s": ty,
         "floor_share": round(e / n, 3),
     }), flush=True)
 
