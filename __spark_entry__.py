@@ -579,6 +579,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
 
+    def q_span_dedup(spark, sf_dir):
+        # corpus-level exact span dedup (Lee-et-al-style, non-overlapping
+        # k=3 chunks): removes duplicated spans INSIDE otherwise-unique
+        # documents, keeps the canonical first occurrence, reassembles
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.dedup_spans(docs, "doc_id", "text", k=3, min_count=2)
+
     def q_ann_topk(spark, sf_dir):
         embs = _t(spark, sf_dir, "embeddings").filter("vec_id < 300")
         probes = embs.filter("vec_id < 3").select(
@@ -1245,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_span_dedup": q_span_dedup,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
@@ -2330,6 +2338,31 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
 HAVING round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.2
+""",
+        # mirrors dedup.dedup_spans(k=3, min_count=2): non-overlapping
+        # 3-token chunks, canonical first occurrence = min packed
+        # (doc_id, chunk_idx) key, reassembly in chunk order ('' when
+        # fully deduplicated, matching Spark's array_join on empty)
+        "q_span_dedup": r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') AS t
+              FROM documents),
+ch0 AS (SELECT doc_id,
+        unnest(list_transform(generate_series(0, CAST(ceil(len(t)/3.0) AS BIGINT)-1),
+               i -> struct_pack(chunk_idx := i,
+                                chunk := array_to_string(t[(i*3+1):(i*3+3)], ' ')))) AS c
+        FROM toks),
+ch AS (SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk FROM ch0),
+st AS (SELECT md5(chunk) AS h, count(*) AS n_occ,
+              min(doc_id * 4294967296 + chunk_idx) AS min_key
+       FROM ch GROUP BY md5(chunk)),
+kept AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk,
+                (st.n_occ < 2 OR ch.doc_id * 4294967296 + ch.chunk_idx = st.min_key) AS keep
+         FROM ch JOIN st ON md5(ch.chunk) = st.h)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep), '') AS clean_text,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_chunks_removed
+FROM kept GROUP BY doc_id
 """,
         "q_ann_topk": """
 WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv

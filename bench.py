@@ -104,6 +104,7 @@ def main() -> None:
         "q_window_grid",
         "q_text_quality",
         "q_exact_dedup",
+        "q_span_dedup",
         "q_minhash_lsh",
         "q_dedup_clusters",
         "q_simhash",

@@ -89,6 +89,95 @@ def exact_duplicates(
     )
 
 
+def dedup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level exact SPAN deduplication (the distributed,
+    non-overlapping-chunk variant of Lee et al., *Deduplicating Training
+    Data Makes Language Models Better*): chunk every document into
+    non-overlapping ``k``-token spans, hash each span, and drop every
+    occurrence of a span that appears >= ``min_count`` times corpus-wide
+    EXCEPT the canonical first occurrence (minimum ``(doc_id,
+    chunk_idx)``). Unlike document-level dedup (exact/minhash/simhash),
+    this removes boilerplate *inside* otherwise-unique documents —
+    headers, license blocks, navigation chrome — which document-level
+    passes cannot touch.
+
+    Returns one row per input document: ``(id_col, clean_text,
+    n_chunks, n_chunks_removed)`` — scalar-only, reassembled in original
+    chunk order with single-space joins (a fully-deduplicated document
+    comes back as ``''``, not NULL). NULL text is treated as ``''``.
+
+    Scale shape (everything is built-in JVM expressions — no UDF):
+
+    - chunking is a per-row ``transform(sequence(...))`` + one explode:
+      ~n_tokens/k output rows per document, no shuffle;
+    - span stats are ONE groupBy on ``md5(chunk)`` — uniform hash key,
+      map-side partial aggregation, so a span duplicated 10^8 times
+      costs one (count, min) buffer per map task, not a hot reducer;
+    - the stats join back onto chunk rows on the same md5 key is 1:N
+      (stats side has exactly one row per distinct span); AQE handles
+      frequency skew on the N side since no row explosion is possible;
+    - reassembly is ONE groupBy on the document id, collecting
+      ``(chunk_idx, chunk, kept)`` structs and filtering/joining inside
+      the aggregate — per-group memory is bounded by the document size,
+      the same bound the input row already paid.
+
+    Total: three shuffles over chunk rows (stats agg, stats join,
+    reassembly), each keyed, each combinable or 1:N — no window over a
+    skewable key, no self-join, no all-pairs anywhere.
+
+    Canonical-occurrence keys pack ``(doc_id, chunk_idx)`` into one
+    int64 (``doc_id * 2^32 + chunk_idx``) so ``min()`` stays a primitive
+    aggregate in both engines; this assumes ``doc_id < 2^31`` and
+    ``chunk_idx < 2^32`` (a 2-billion-document corpus of 4-billion-chunk
+    documents — beyond that, switch the key to ``min(struct(...))``).
+
+    Reference anchor: the reference has no corpus-text operators at all
+    (it is an annotation engine); this operator belongs to the
+    driver-brief LLM-training-data family alongside
+    :func:`exact_duplicates` / :func:`minhash_lsh_pairs`.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * k + 1, k), " ").alias("chunk"),
+        ),
+    )
+    ch = docs.select(F.col(id_col), F.explode(chunk_structs).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    occ_key = F.col(id_col).cast("long") * F.lit(1 << 32).cast("long") + F.col(
+        "chunk_idx"
+    )
+    ch = ch.withColumn("__sd_key", occ_key).withColumn("__sd_h", F.md5("chunk"))
+    stats = ch.groupBy("__sd_h").agg(
+        F.count(F.lit(1)).alias("__sd_n"), F.min("__sd_key").alias("__sd_min")
+    )
+    flagged = ch.join(stats, "__sd_h").withColumn(
+        "kept",
+        (F.col("__sd_n") < min_count) | (F.col("__sd_key") == F.col("__sd_min")),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk", "kept")))
+    kept_chunks = F.transform(
+        F.filter(arr, lambda x: x["kept"]), lambda x: x["chunk"]
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(kept_chunks, " ").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_chunks_removed"),
+    )
+
+
 def word_shingles(text_col: str = "text", k: int = 3) -> "F.Column":
     """Array of word k-grams (built-ins only: split + transform/sequence)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")

@@ -716,3 +716,85 @@ class TestDuplicateClusters:
         assert rows[1].is_canonical and rows[10].is_canonical
         assert not rows[5].is_canonical and not rows[7].is_canonical
         assert rows[5].text == "text 5"  # corpus columns ride through
+
+
+class TestSpanDedup:
+    """dedup.dedup_spans — corpus-level exact k-token span dedup."""
+
+    @staticmethod
+    def _py_reference(rows, k, min_count=2):
+        """Independent per-chunk reference: chunk, count corpus-wide,
+        keep non-dups + the canonical (min doc_id, chunk_idx) occurrence."""
+        chunks = []  # (doc_id, idx, chunk)
+        for doc_id, txt in rows:
+            toks = (txt or "").split()
+            toks = toks if toks else [""]
+            for i in range(0, len(toks), k):
+                chunks.append((doc_id, i // k, " ".join(toks[i : i + k])))
+        from collections import defaultdict
+
+        occ = defaultdict(list)
+        for doc_id, idx, c in chunks:
+            occ[c].append((doc_id, idx))
+        first = {c: min(o) for c, o in occ.items()}
+        out = {}
+        for doc_id, idx, c in sorted(chunks):
+            kept = len(occ[c]) < min_count or first[c] == (doc_id, idx)
+            t, n, r = out.get(doc_id, ([], 0, 0))
+            out[doc_id] = (t + [c] if kept else t, n + 1, r + (0 if kept else 1))
+        return {
+            d: (" ".join(t), n, r) for d, (t, n, r) in out.items()
+        }
+
+    def _run(self, spark, rows, k, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_chunks_removed"])
+            for r in dedup.dedup_spans(df, k=k, **kw).collect()
+        }
+        assert got == self._py_reference(rows, k, kw.get("min_count", 2))
+        return got
+
+    def test_planted_boilerplate_removed_once(self, spark):
+        boiler = "subscribe to our newsletter now"
+        rows = [
+            (1, f"{boiler} unique alpha text one two three four five"),
+            (2, f"{boiler} different beta body six seven eight nine ten"),
+            (3, "no boilerplate here at all just words eleven twelve"),
+        ]
+        got = self._run(spark, rows, k=5)
+        # doc 1 keeps the canonical occurrence; doc 2 loses it
+        assert boiler in got[1][0] and boiler not in got[2][0]
+        assert got[2][2] == 1 and got[3][2] == 0
+
+    def test_fully_duplicate_doc_empties(self, spark):
+        rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+        got = self._run(spark, rows, k=3)
+        assert got[1] == ("a b c d e f", 2, 0)
+        assert got[2] == ("", 2, 2)
+
+    def test_short_tail_chunk_and_null_text(self, spark):
+        rows = [(1, "one two three four five"), (2, None), (3, None)]
+        got = self._run(spark, rows, k=3)
+        # tail chunk shorter than k survives; NULL text behaves as ''
+        assert got[1] == ("one two three four five", 2, 0)
+        assert got[2][0] == "" and got[3] == ("", 1, 1)
+
+    def test_min_count_threshold(self, spark):
+        rows = [(i, "shared span here plus unique" + str(i)) for i in range(3)]
+        # with min_count=4 the 3-fold span is NOT a duplicate
+        got = self._run(spark, rows, k=3, min_count=4)
+        assert all(r == 0 for _, _, r in got.values())
+        got = self._run(spark, rows, k=3, min_count=2)
+        assert got[1][2] == 1 and got[2][2] == 1 and got[0][2] == 0
+
+    def test_random_corpus_matches_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+            for d in range(60)
+        ]
+        self._run(spark, rows, k=4)
