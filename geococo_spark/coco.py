@@ -347,6 +347,74 @@ class CocoState:
             },
         )
 
+    # ---------- durable parquet snapshots (streaming / resume) ----------
+
+    STATE_MANIFEST = "_state.json"
+
+    def save_tables(self, path: str) -> None:
+        """Durable, collect-free snapshot of the dataset state: the four
+        COCO tables as parquet plus a ``_state.json`` manifest (info +
+        exact row counts). The manifest is written LAST via tmp+rename,
+        so a crash mid-snapshot leaves a directory :meth:`load_tables`
+        refuses to load — never a half-state. This is the distributed
+        counterpart of :meth:`to_json_file` (which collects) and the
+        restart substrate for :class:`streaming.annotate.StreamingAnnotator`.
+
+        ``tiles``/``knn_assignments`` are per-append byproducts, not
+        dataset state, and are not snapshotted (sink them per batch via
+        ``tile_sink_dir=`` instead).
+        """
+        import json as _json
+        import os as _os
+
+        for name, df in (
+            ("images", self.images),
+            ("annotations", self.annotations),
+            ("categories", self.categories),
+            ("sources", self.sources),
+        ):
+            df.write.mode("overwrite").parquet(f"{path}/{name}")
+        spark = self.images.sparkSession
+        counts = {}
+        for name in ("images", "annotations", "sources"):
+            n = self.cached_counts.get(name)
+            if n is None:
+                # count the WRITTEN parquet (cheap metadata-backed scan)
+                # rather than re-running the pre-write lineage
+                n = spark.read.parquet(f"{path}/{name}").count()
+            counts[name] = n
+        tmp = _os.path.join(path, f".{self.STATE_MANIFEST}.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"info": self.info, "counts": counts}, f)
+        _os.replace(tmp, _os.path.join(path, self.STATE_MANIFEST))
+
+    @classmethod
+    def load_tables(cls, spark: SparkSession, path: str) -> "CocoState":
+        """Load a :meth:`save_tables` snapshot. The parquet scan replaces
+        the full pre-snapshot lineage (durable truncation — recoverable
+        after executor loss, unlike localCheckpoint) and the manifest's
+        exact counts restore the id counters without count() jobs,
+        preserving the append contract across restarts (A7)."""
+        import json as _json
+        import os as _os
+
+        mpath = _os.path.join(path, cls.STATE_MANIFEST)
+        if not _os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"no committed state snapshot at {path} (missing "
+                f"{cls.STATE_MANIFEST} — snapshot incomplete or never written)"
+            )
+        with open(mpath) as f:
+            doc = _json.load(f)
+        return cls(
+            images=spark.read.parquet(f"{path}/images"),
+            annotations=spark.read.parquet(f"{path}/annotations"),
+            categories=spark.read.parquet(f"{path}/categories"),
+            sources=spark.read.parquet(f"{path}/sources"),
+            info=doc["info"],
+            cached_counts=dict(doc["counts"]),
+        )
+
     # ---------- sources / version bumps (J4/X3) ----------
 
     def register_source(self, file_name: str, date_captured: datetime | None) -> int:

@@ -163,3 +163,103 @@ class TestStatefulDedup:
         q.awaitTermination(600)
         rows = [r.image_id for r in spark.read.parquet(sink).collect()]
         assert sorted(rows) == ["s5_img_000000000000", "s5_img_000000000001"]
+
+
+class TestStreamingAnnotate:
+    """StreamingAnnotator: durable incremental append with id continuity
+    across batches AND process restarts (streaming/annotate.py)."""
+
+    KW = dict(images_dir="d", id_attribute="category_id", name_attribute="class_names")
+
+    @staticmethod
+    def _snap(state):
+        def rows(df):
+            return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+        return {
+            "images": rows(state.images),
+            "annotations": rows(state.annotations),
+            "categories": rows(state.categories),
+            "sources": rows(state.sources),
+        }
+
+    def test_restart_continuity_matches_sequential_appends(self, spark, tmp_path):
+        from geococo_spark import pipeline
+        from geococo_spark.coco import CocoState
+        from geococo_spark.streaming.annotate import StreamingAnnotator
+
+        labels = datagen.labels_df(spark)
+        in_dir = str(tmp_path / "drop")
+        ck = str(tmp_path / "ck")
+        sd = str(tmp_path / "state")
+
+        # wave 1 -> drain; then a PROCESS RESTART (fresh annotator on the
+        # same state_dir) ingests wave 2 from the committed snapshot
+        ann1 = StreamingAnnotator(spark, labels, sd, **self.KW)
+        write_images(spark, in_dir, 2, seed=1)
+        ann1.run_available_now(in_dir, ck)
+        write_images(spark, in_dir, 3, seed=2)
+        ann2 = StreamingAnnotator(spark, labels, sd, **self.KW)
+        assert ann2.last_epoch == ann1.last_epoch  # resumed, not recreated
+        state = ann2.run_available_now(in_dir, ck)
+
+        # reference: the same two waves as sequential BATCH appends
+        all_imgs = spark.read.parquet(in_dir)
+        ref = CocoState.create(spark)
+        for tag in ("s1_", "s2_"):
+            wave = all_imgs.filter(F.col("image_id").startswith(tag))
+            ref = pipeline.append_dataset(spark, ref, wave, labels, **self.KW)
+        assert self._snap(state) == self._snap(ref)
+        # ids really continued: wave-2 images got ids AFTER wave 1's
+        assert state.cached_counts["images"] == 5
+        assert state.info["version"] == ref.info["version"]
+
+    def test_replayed_epoch_is_idempotent(self, spark, tmp_path):
+        from geococo_spark.streaming.annotate import StreamingAnnotator
+
+        labels = datagen.labels_df(spark)
+        in_dir = str(tmp_path / "drop")
+        ck = str(tmp_path / "ck")
+        sd = str(tmp_path / "state")
+        write_images(spark, in_dir, 2, seed=1)
+        ann = StreamingAnnotator(spark, labels, sd, **self.KW)
+        state = ann.run_available_now(in_dir, ck)
+        before = self._snap(state)
+        # crash-between-commit-and-checkpoint simulation: the SAME batch
+        # is delivered again with its original epoch id
+        replay = spark.read.parquet(in_dir)
+        ann.process_batch(replay, ann.last_epoch)
+        assert self._snap(ann.state) == before
+        # and a drain with nothing new is a no-op too
+        state2 = ann.run_available_now(in_dir, ck)
+        assert self._snap(state2) == before
+
+    def test_snapshot_pruning_keeps_latest(self, spark, tmp_path):
+        import os
+
+        from geococo_spark.coco import CocoState
+        from geococo_spark.streaming.annotate import StreamingAnnotator
+
+        labels = datagen.labels_df(spark)
+        in_dir = str(tmp_path / "drop")
+        ck = str(tmp_path / "ck")
+        sd = str(tmp_path / "state")
+        ann = StreamingAnnotator(spark, labels, sd, keep_snapshots=1, **self.KW)
+        for seed in (1, 2, 3):
+            write_images(spark, in_dir, 1, seed=seed)
+            ann.run_available_now(in_dir, ck)
+        epochs = [d for d in os.listdir(sd) if d.startswith("epoch_")]
+        assert len(epochs) == 1  # pruned down to the committed latest
+        # the surviving snapshot is loadable and complete
+        st = CocoState.load_tables(spark, os.path.join(sd, epochs[0]))
+        assert st.cached_counts["images"] == 3
+
+    def test_load_refuses_uncommitted_snapshot(self, spark, tmp_path):
+        import os
+
+        from geococo_spark.coco import CocoState
+
+        p = str(tmp_path / "half")
+        os.makedirs(p)
+        with pytest.raises(FileNotFoundError):
+            CocoState.load_tables(spark, p)
