@@ -288,7 +288,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from geococo_spark.operators import cells, dedup, grid, ids
+    from geococo_spark.operators import cells, dedup, grid, ids, sampling
     from geococo_spark.operators import similarity as sim
     from geococo_spark.operators import text
     from geococo_spark.operators.grid import WindowSchemaSpec
@@ -585,6 +585,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents, keeps the canonical first occurrence, reassembles
         docs = _t(spark, sf_dir, "documents")
         return dedup.dedup_spans(docs, "doc_id", "text", k=3, min_count=2)
+
+    def q_hash_split(spark, sf_dir):
+        # shuffle-free deterministic train/val/test assignment (pure
+        # projection — append-stable, engine-portable md5 buckets)
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.hash_split(docs, "doc_id", seed="split7").select(
+            "doc_id", "bucket", "split"
+        )
+
+    def q_stratified_split(spark, sf_dir):
+        # exact per-stratum proportions via rank-within-stratum; the
+        # threshold test is pure int64 so boundary rows agree with DuckDB
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.stratified_split(docs, "doc_id", "lang", seed="strat7").select(
+            "doc_id", "lang", "split"
+        )
+
+    def q_balanced_sample(spark, sf_dir):
+        # at-most-N-per-source downsampling in deterministic hash order
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.balanced_sample(
+            docs, "source", "doc_id", n_per_group=11, seed="bal7"
+        ).select("doc_id", "source")
+
+    def q_pack_chunks(spark, sf_dir):
+        # concat-and-chunk sequence packing over a DISTRIBUTED prefix sum
+        # (range partition + per-partition sums + broadcast offsets) —
+        # the DuckDB oracle is the equivalent single-node window
+        docs = text.with_token_stats(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_tokens"
+        )
+        return sampling.pack_chunks(docs, "doc_id", "n_tokens", target=64).select(
+            "doc_id", "n_tokens", "start_tok", "chunk_id", "chunk_offset"
+        )
 
     def q_ann_topk(spark, sf_dir):
         embs = _t(spark, sf_dir, "embeddings").filter("vec_id < 300")
@@ -1253,6 +1287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_span_dedup": q_span_dedup,
+        "q_hash_split": q_hash_split,
+        "q_stratified_split": q_stratified_split,
+        "q_balanced_sample": q_balanced_sample,
+        "q_pack_chunks": q_pack_chunks,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
@@ -2343,6 +2381,61 @@ HAVING round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.2
         # 3-token chunks, canonical first occurrence = min packed
         # (doc_id, chunk_idx) key, reassembly in chunk order ('' when
         # fully deduplicated, matching Spark's array_join on empty)
+        "q_hash_split": f"""
+WITH b AS (
+  SELECT doc_id,
+         {_PH.format(s="concat('split7:', CAST(doc_id AS VARCHAR))")} % 10000
+           AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+        "q_stratified_split": """
+WITH d AS (
+  SELECT doc_id, lang,
+         md5(concat('strat7:', CAST(doc_id AS VARCHAR))) AS hk
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM d)
+SELECT doc_id, lang,
+       CASE WHEN rn * 10000 <= 9000 * n THEN 'train'
+            WHEN rn * 10000 <= 9500 * n THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+""",
+        "q_balanced_sample": """
+WITH d AS (
+  SELECT doc_id, source,
+         md5(concat('bal7:', CAST(doc_id AS VARCHAR))) AS hk
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+  FROM d)
+SELECT doc_id, source FROM r WHERE rn <= 11
+""",
+        "q_pack_chunks": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tokens AS BIGINT) AS start_tok
+  FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // 64 AS BIGINT) AS chunk_id,
+       CAST(start_tok % 64 AS BIGINT) AS chunk_offset
+FROM r
+""",
         "q_span_dedup": r"""
 WITH toks AS (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') AS t
               FROM documents),

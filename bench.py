@@ -105,6 +105,8 @@ def main() -> None:
         "q_text_quality",
         "q_exact_dedup",
         "q_span_dedup",
+        "q_stratified_split",
+        "q_pack_chunks",
         "q_minhash_lsh",
         "q_dedup_clusters",
         "q_simhash",
