@@ -117,6 +117,27 @@ def cmd_add(args) -> None:
     )
 
 
+def cmd_export(args) -> None:
+    """Export the last committed streaming-state snapshot (see
+    jobs/annotate_stream.py) as a COCO JSON file — closes the loop
+    drop-dir -> streaming append -> durable parquet state -> standard
+    single-file COCO for downstream consumers. Past the single-file
+    collect ceiling, pass --shard-annotations-dir for the distributed
+    JSON-shard layout (non-standard main file; from_json_file-only)."""
+    from geococo_spark.session import get_spark
+    from geococo_spark.streaming.annotate import load_latest_state
+
+    spark = get_spark(app_name="geococo-cli")
+    state = load_latest_state(spark, args.state_dir)
+    state.to_json_file(
+        args.json_path, shard_annotations_dir=args.shard_annotations_dir
+    )
+    print(
+        f"Exported dataset version {state.info.get('version')} "
+        f"to {args.json_path}"
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="geococo",
@@ -151,6 +172,14 @@ def build_parser() -> argparse.ArgumentParser:
     p_add.add_argument("--name-attribute", default=None)
     p_add.add_argument("--super-attribute", default=None)
     p_add.set_defaults(fn=cmd_add)
+
+    p_exp = sub.add_parser(
+        "export", help="Export a streaming state snapshot as COCO JSON"
+    )
+    p_exp.add_argument("state_dir")
+    p_exp.add_argument("json_path")
+    p_exp.add_argument("--shard-annotations-dir", default=None)
+    p_exp.set_defaults(fn=cmd_export)
     return ap
 
 

@@ -62,6 +62,20 @@ def _write_latest(state_dir: str, doc: dict) -> None:
     os.replace(tmp, os.path.join(state_dir, LATEST))
 
 
+def load_latest_state(spark: SparkSession, state_dir: str) -> CocoState:
+    """Load the last COMMITTED snapshot under ``state_dir`` (the one the
+    atomic ``_latest.json`` manifest points at) without constructing an
+    annotator — the read side of the export path (``geococo export``).
+    Raises ``FileNotFoundError`` if no epoch has ever committed."""
+    latest = _read_latest(state_dir)
+    if latest is None:
+        raise FileNotFoundError(
+            f"no committed streaming state under {state_dir!r} "
+            f"(missing {LATEST})"
+        )
+    return CocoState.load_tables(spark, latest["path"])
+
+
 class StreamingAnnotator:
     """Incremental annotate with durable state under ``state_dir``.
 

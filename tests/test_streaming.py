@@ -263,3 +263,34 @@ class TestStreamingAnnotate:
         os.makedirs(p)
         with pytest.raises(FileNotFoundError):
             CocoState.load_tables(spark, p)
+
+    def test_cli_export_round_trips(self, spark, tmp_path):
+        # drop dir -> streaming append -> durable state -> `geococo
+        # export` -> standard COCO JSON identical to a direct
+        # to_json_file of the same state
+        from geococo_spark import cli
+        from geococo_spark.coco import CocoState
+        from geococo_spark.streaming.annotate import StreamingAnnotator
+
+        labels = datagen.labels_df(spark)
+        in_dir = str(tmp_path / "drop")
+        ck = str(tmp_path / "ck")
+        sd = str(tmp_path / "state")
+        write_images(spark, in_dir, 2, seed=1)
+        ann = StreamingAnnotator(spark, labels, sd, **self.KW)
+        state = ann.run_available_now(in_dir, ck)
+
+        out = str(tmp_path / "export.json")
+        cli.main(["export", sd, out])
+        ref_path = str(tmp_path / "direct.json")
+        state.to_json_file(ref_path)
+        loaded = CocoState.from_json_file(spark, out)
+        ref = CocoState.from_json_file(spark, ref_path)
+        assert self._snap(loaded) == self._snap(ref)
+        assert loaded.info["version"] == state.info["version"]
+
+    def test_export_without_state_raises(self, spark, tmp_path):
+        from geococo_spark.streaming.annotate import load_latest_state
+
+        with pytest.raises(FileNotFoundError):
+            load_latest_state(spark, str(tmp_path / "nostate"))
