@@ -620,6 +620,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_tokens", "start_tok", "chunk_id", "chunk_offset"
         )
 
+    def q_phash_neardup(spark, sf_dir):
+        # IMAGE near-dup via perceptual-hash hamming banding
+        # (multimodal.image_near_duplicates -> shared
+        # dedup.hamming_near_duplicates core). Fixture: 64-bit "phash"
+        # values derived from the portable 60-bit md5 hash of customer
+        # keys, with PLANTED near-dup twins (1-3 bits flipped, bit
+        # positions derived from the key) — both engines rebuild the
+        # identical signature set, so banding + cap + bit_count verify
+        # are pinned end-to-end.
+        from geococo_spark.operators import multimodal
+
+        cust = _t(spark, sf_dir, "customer")
+        ph = _hash60_spark("concat('ph:', CAST(c_custkey AS STRING))")
+        base = cust.selectExpr(
+            "CAST(c_custkey AS BIGINT) AS image_id", f"{ph} AS phash"
+        )
+        twin = (
+            f"({ph}) ^ shiftleft(CAST(1 AS BIGINT), CAST(c_custkey % 60 AS INT))"
+            " ^ (CASE WHEN c_custkey % 20 = 0 THEN shiftleft(CAST(1 AS BIGINT),"
+            " CAST((c_custkey * 7) % 60 AS INT)) ELSE CAST(0 AS BIGINT) END)"
+            " ^ (CASE WHEN c_custkey % 40 = 0 THEN shiftleft(CAST(1 AS BIGINT),"
+            " CAST((c_custkey * 13) % 60 AS INT)) ELSE CAST(0 AS BIGINT) END)"
+        )
+        twins = cust.filter("c_custkey % 10 = 0").selectExpr(
+            "CAST(c_custkey + 1000000 AS BIGINT) AS image_id",
+            f"{twin} AS phash",
+        )
+        return multimodal.image_near_duplicates(
+            base.unionByName(twins), "image_id", "phash",
+            max_hamming=3, max_bucket_size=64,
+        )
+
     def q_ann_topk(spark, sf_dir):
         embs = _t(spark, sf_dir, "embeddings").filter("vec_id < 300")
         probes = embs.filter("vec_id < 3").select(
@@ -1291,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_split": q_stratified_split,
         "q_balanced_sample": q_balanced_sample,
         "q_pack_chunks": q_pack_chunks,
+        "q_phash_neardup": q_phash_neardup,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
@@ -1337,6 +1370,48 @@ def _lsh_cap_cte(group_keys: str, max_bucket_size: int | None) -> str:
   JOIN (SELECT {group_keys} FROM banded0 GROUP BY {group_keys}
         HAVING count(*) <= {max_bucket_size}) k
     ON {on}),"""
+
+
+def _phash_neardup_oracle_sql(
+    max_hamming: int = 3, max_bucket_size: int | None = None
+) -> str:
+    """DuckDB replica of multimodal.image_near_duplicates over the
+    planted customer-key phash fixture: same 60-bit md5 signatures,
+    same twin bit-flips, same (max_hamming+1)-band pigeonhole join,
+    hot-bucket cap, and bit_count(xor) verify."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    mask = (1 << width) - 1
+    ph = _PH.format(s="concat('ph:', CAST(c_custkey AS VARCHAR))")
+    twin = (
+        f"xor(xor(xor({ph}, CAST(1 AS BIGINT) << (c_custkey % 60)),"
+        f" CASE WHEN c_custkey % 20 = 0 THEN CAST(1 AS BIGINT) << ((c_custkey * 7) % 60)"
+        f" ELSE CAST(0 AS BIGINT) END),"
+        f" CASE WHEN c_custkey % 40 = 0 THEN CAST(1 AS BIGINT) << ((c_custkey * 13) % 60)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+    )
+    banded = " UNION ALL ".join(
+        f"SELECT image_id, phash, {i} AS band,"
+        f" (phash >> {i * width}) & {mask} AS key FROM base"
+        for i in range(nb)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS image_id, {ph} AS phash FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + 1000000 AS BIGINT) AS image_id, {twin} AS phash
+  FROM customer WHERE c_custkey % 10 = 0),
+banded0 AS ({banded}),
+{_lsh_cap_cte("band, key", max_bucket_size)}
+cand AS (
+  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+         a.phash AS ha, b.phash AS hb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
 
 
 def _simhash_oracle_sql(max_hamming: int = 3, max_bucket_size: int | None = None) -> str:
@@ -2507,6 +2582,7 @@ SELECT i.tile_id, i.image_seq, p.n_anns, p.cats, p.min_ann_id, p.max_ann_id
 FROM imgs i JOIN per_tile p ON i.tile_id = p.tile_id
 """,
         "q_simhash": _simhash_oracle_sql(max_hamming=3, max_bucket_size=64),
+        "q_phash_neardup": _phash_neardup_oracle_sql(max_hamming=3, max_bucket_size=64),
         "q_minhash_lsh": _minhash_oracle_sql(
             k=3, num_perm=64, bands=16, threshold=0.5, seed=1, max_bucket_size=64
         ),

@@ -286,3 +286,30 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
 
     return df.select(id_col, bytes_col).mapInPandas(_sample, FRAMES)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs over a 64-bit ``phash``
+    column (input_hint schema; ``codec.phash64`` computes it at decode
+    time, :func:`with_image_features` backfills it for raw corpora).
+    Crops/re-encodes/minor edits move only a few phash bits, so pairs
+    within ``max_hamming`` are the standard web-scale image-dedup
+    signal. Delegates to the shared banding core
+    ``dedup.hamming_near_duplicates`` — pigeonhole band join + exact
+    ``bit_count(xor)`` verify, ids-only through the shuffle, hot-bucket
+    cap for uniform/blank-image pileups (identical phash)."""
+    from geococo_spark.operators.dedup import hamming_near_duplicates
+
+    return hamming_near_duplicates(
+        df,
+        id_col=id_col,
+        sig_col=phash_col,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

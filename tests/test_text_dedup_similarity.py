@@ -341,6 +341,66 @@ class TestSimHash:
         assert loose == uncapped
 
 
+class TestHammingNearDup:
+    """Shared 64-bit hamming banding core (dedup.hamming_near_duplicates)
+    and its image-facing wrapper (multimodal.image_near_duplicates)."""
+
+    def _python_pairs(self, sigs, d):
+        out = set()
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= d:
+                    out.add((a, b, h))
+        return out
+
+    def test_matches_python_reference_incl_negatives(self, spark):
+        # signatures exercising bit 63 (negative int64) + planted twins
+        rng = __import__("random").Random(7)
+        sigs = {}
+        for i in range(40):
+            v = rng.getrandbits(64)
+            sigs[i] = v - (1 << 64) if v >= (1 << 63) else v
+        for i in range(0, 40, 8):  # twins at hamming 1-3
+            flips = [(i * 7 + k * 13) % 64 for k in range(1 + i % 3)]
+            t = sigs[i]
+            for f in flips:
+                t ^= 1 << f
+                if t >= (1 << 63):
+                    t -= 1 << 64
+            sigs[100 + i] = t
+        df = spark.createDataFrame(
+            [(k, v) for k, v in sigs.items()], ["image_id", "phash"]
+        )
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.hamming_near_duplicates(
+                df, "image_id", "phash", max_hamming=3
+            ).collect()
+        }
+        exp = self._python_pairs({k: v & ((1 << 64) - 1) for k, v in sigs.items()}, 3)
+        assert got == exp and len(got) >= 5
+
+    def test_image_wrapper_and_blank_image_cap(self, spark):
+        # uniform/blank images: identical phash -> one bucket per band;
+        # the cap drops the pileup, a planted crop-twin pair survives
+        from geococo_spark.operators import multimodal
+
+        rows = [(1, 12345678901234), (2, 12345678901234 ^ (1 << 17))]
+        rows += [(100 + i, 0) for i in range(30)]
+        df = spark.createDataFrame(rows, ["image_id", "phash"])
+        capped = {
+            (r.id_a, r.id_b)
+            for r in multimodal.image_near_duplicates(
+                df, max_hamming=3, max_bucket_size=10
+            ).collect()
+        }
+        assert capped == {(1, 2)}
+        uncapped = multimodal.image_near_duplicates(df, max_hamming=3).count()
+        assert uncapped == 1 + 30 * 29 // 2
+
+
 class TestSimilarity:
     def test_brute_force_topk_self_excluded(self, spark, embs):
         probes = embs.limit(3).select(F.col("vec_id").alias("probe_id"), "embedding")
