@@ -620,6 +620,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_tokens", "start_tok", "chunk_id", "chunk_offset"
         )
 
+    def q_token_budget(spark, sf_dir):
+        # deterministic token-budget subsample: hash-order prefix whose
+        # inclusive running token total stays within the budget (same
+        # distributed prefix sum as q_pack_chunks, budget filter on top)
+        docs = text.with_token_stats(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_tokens"
+        )
+        return sampling.take_token_budget(
+            docs, "doc_id", "n_tokens", budget=5000, seed="tb7"
+        ).select("doc_id", "n_tokens", "sample_rank", "tokens_before")
+
     def q_phash_neardup(spark, sf_dir):
         # IMAGE near-dup via perceptual-hash hamming banding
         # (multimodal.image_near_duplicates -> shared
@@ -1323,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_split": q_stratified_split,
         "q_balanced_sample": q_balanced_sample,
         "q_pack_chunks": q_pack_chunks,
+        "q_token_budget": q_token_budget,
         "q_phash_neardup": q_phash_neardup,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
@@ -2510,6 +2522,21 @@ SELECT doc_id, n_tokens, start_tok,
        CAST(start_tok // 64 AS BIGINT) AS chunk_id,
        CAST(start_tok % 64 AS BIGINT) AS chunk_offset
 FROM r
+""",
+        "q_token_budget": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         md5(concat('tb7:', CAST(doc_id AS VARCHAR))) AS sample_rank
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens, sample_rank,
+         CAST(SUM(n_tokens) OVER (ORDER BY sample_rank ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS run
+  FROM t)
+SELECT doc_id, n_tokens, sample_rank,
+       CAST(run - n_tokens AS BIGINT) AS tokens_before
+FROM r WHERE run <= 5000
 """,
         "q_span_dedup": r"""
 WITH toks AS (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') AS t

@@ -178,6 +178,72 @@ def balanced_sample(
     )
 
 
+def _with_running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """INCLUSIVE running total of ``value_col`` in global ``order_col``
+    order, as a distributed prefix sum (shared by :func:`pack_chunks`
+    and :func:`take_token_budget`):
+
+    1. ``repartitionByRange(order_col)`` + sort within partitions —
+       partition p's keys all precede partition p+1's (RangePartitioner
+       contract);
+    2. per-partition sums: a tiny aggregate (#partitions rows) collected
+       to the driver and turned into EXCLUSIVE prefix offsets;
+    3. broadcast-join the offsets back, then a PER-PARTITION running sum
+       (window keyed on the captured ``spark_partition_id`` — uniform,
+       bounded groups).
+
+    The naive ``SUM OVER (ORDER BY order_col)`` window would move the
+    whole corpus into ONE task; every stage here is bounded at any
+    corpus size, and the result depends only on the global order, not
+    the sampled range boundaries.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(nparts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__rt_pid", F.spark_partition_id())
+    )
+    # cache so the per-partition sums and the main pass see identical
+    # (sampled) range boundaries
+    ranged = ranged.persist()
+    sums = (
+        ranged.groupBy("__rt_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    )
+    by_pid = {r["__rt_pid"]: r["s"] or 0 for r in sums}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    if offsets:
+        off_df = spark.createDataFrame(offsets, ["__rt_pid", "__rt_off"])
+    else:
+        off_df = spark.createDataFrame([], "`__rt_pid` int, `__rt_off` long")
+    w = (
+        Window.partitionBy("__rt_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__rt_pid")
+        .withColumn(
+            out_col,
+            (F.col("__rt_off") + F.sum(F.col(value_col).cast("long")).over(w)).cast(
+                "long"
+            ),
+        )
+        .drop("__rt_pid", "__rt_off")
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -193,71 +259,59 @@ def pack_chunks(
     stream -> equal chunks); downstream, ``groupBy(chunk_id)`` +
     ``sort(chunk_offset)`` materializes training rows.
 
-    The running token total is a distributed prefix sum — the window
-    ``SUM OVER (ORDER BY id)`` with no partition key would move the
-    whole corpus into ONE task, so instead:
-
-    1. ``repartitionByRange(id)`` + sort within partitions — partition
-       p's ids all precede partition p+1's (RangePartitioner contract);
-    2. per-partition token sums: a tiny aggregate (#partitions rows)
-       collected to the driver and turned into EXCLUSIVE prefix offsets;
-    3. broadcast-join the offsets back, then a PER-PARTITION running sum
-       (window keyed on the captured ``spark_partition_id`` — uniform,
-       bounded groups).
-
-    Total cost: one range exchange + one pid exchange + a #partitions-row
-    collect — every stage bounded at any corpus size. The result depends
-    only on the global id order, not the sampled range boundaries, so it
-    is deterministic and engine-portable (the DuckDB oracle is the plain
-    single-node window).
+    The running token total is the distributed prefix sum of
+    :func:`_with_running_total` — one range exchange + one pid exchange
+    + a #partitions-row collect; every stage bounded at any corpus
+    size, deterministic and engine-portable (the DuckDB oracle is the
+    plain single-node window).
     """
     if target <= 0:
         raise ValueError("target must be positive")
-    spark = df.sparkSession
-    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(nparts, F.col(id_col))
-        .sortWithinPartitions(id_col)
-        .withColumn("__pc_pid", F.spark_partition_id())
+    run = _with_running_total(df, id_col, tokens_col, "__pc_run", num_partitions)
+    toks = F.col(tokens_col).cast("long")
+    return (
+        run.withColumn("start_tok", (F.col("__pc_run") - toks).cast("long"))
+        .withColumn("chunk_id", F.expr(f"start_tok div {int(target)}"))
+        .withColumn("chunk_offset", F.expr(f"start_tok % {int(target)}"))
+        .drop("__pc_run")
     )
-    # cache so the per-partition sums and the main pass see identical
-    # (sampled) range boundaries
-    ranged = ranged.persist()
-    try:
-        sums = (
-            ranged.groupBy("__pc_pid")
-            .agg(F.sum(F.col(tokens_col).cast("long")).alias("s"))
-            .collect()
+
+
+def take_token_budget(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 1_000_000,
+    seed: str = "budget",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus subsample to a TOKEN budget (the "give me a
+    ~1B-token slice of this 100 TB corpus" operator): rank documents in
+    portable md5 hash order (an unbiased, append-stable shuffle of the
+    corpus — physical row order never leaks into the sample), take the
+    prefix of that order while the INCLUSIVE running token total stays
+    within ``budget``. A document is kept iff ALL its tokens fit —
+    partially-fitting docs are excluded, so the kept total is the
+    largest prefix sum <= budget.
+
+    Same distributed prefix sum as :func:`pack_chunks`
+    (:func:`_with_running_total` over the hash-order key); the filter
+    then prunes everything past the budget. Adds ``sample_rank`` (the
+    hash-order key, for reproducibility audits) and ``tokens_before``
+    (the exclusive running total) to the kept rows.
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    hk = F.md5(_split_key(id_col, seed))
+    with_key = df.withColumn("sample_rank", hk)
+    run = _with_running_total(
+        with_key, "sample_rank", tokens_col, "__tb_run", num_partitions
+    )
+    return (
+        run.filter(F.col("__tb_run") <= budget)
+        .withColumn(
+            "tokens_before",
+            (F.col("__tb_run") - F.col(tokens_col).cast("long")).cast("long"),
         )
-        by_pid = {r["__pc_pid"]: r["s"] or 0 for r in sums}
-        offsets, acc = [], 0
-        for pid in sorted(by_pid):
-            offsets.append((pid, acc))
-            acc += by_pid[pid]
-        if offsets:
-            off_df = spark.createDataFrame(offsets, ["__pc_pid", "__pc_off"])
-        else:
-            off_df = spark.createDataFrame([], "`__pc_pid` int, `__pc_off` long")
-        w = (
-            Window.partitionBy("__pc_pid")
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        toks = F.col(tokens_col).cast("long")
-        out = (
-            ranged.join(F.broadcast(off_df), "__pc_pid")
-            .withColumn(
-                "__pc_run",
-                F.col("__pc_off") + F.sum(toks).over(w),
-            )
-            .withColumn("start_tok", (F.col("__pc_run") - toks).cast("long"))
-            .withColumn("chunk_id", F.expr(f"start_tok div {int(target)}"))
-            .withColumn("chunk_offset", F.expr(f"start_tok % {int(target)}"))
-            .drop("__pc_pid", "__pc_off", "__pc_run")
-        )
-        # materialization happens downstream; unpersist lazily is unsafe
-        # before the plan runs, so leave eviction to Spark's LRU unless
-        # the caller forces an action here. We force nothing.
-        return out
-    finally:
-        pass
+        .drop("__tb_run")
+    )

@@ -167,3 +167,31 @@ def test_pack_chunks_partition_invariance(spark):
     ga = sorted((r["doc_id"], r["chunk_id"], r["chunk_offset"]) for r in a.collect())
     gb = sorted((r["doc_id"], r["chunk_id"], r["chunk_offset"]) for r in b.collect())
     assert ga == gb
+
+
+# ------------------------------------------------------------ take_token_budget
+
+
+def test_take_token_budget_matches_python_reference(spark):
+    df = _docs(spark)  # n_tokens = (i*7) % 23
+    out = sampling.take_token_budget(df, "doc_id", "n_tokens", budget=500, seed="tb")
+    got = {r["doc_id"]: r["tokens_before"] for r in out.collect()}
+    ranked = sorted(range(200), key=lambda i: hashlib.md5(f"tb:{i}".encode()).hexdigest())
+    exp, cum = {}, 0
+    for i in ranked:
+        n = (i * 7) % 23
+        if cum + n > 500:
+            break  # strictly prefix semantics: first overflow ends the sample
+        exp[i] = cum
+        cum += n
+    assert got == exp and 0 < len(got) < 200
+
+
+def test_take_token_budget_zero_budget_and_partition_invariance(spark):
+    df = _docs(spark, n=97)
+    assert sampling.take_token_budget(df, budget=0).count() == 0
+    a = sampling.take_token_budget(df, budget=400, num_partitions=1)
+    b = sampling.take_token_budget(df.repartition(13), budget=400, num_partitions=7)
+    ka = sorted((r["doc_id"], r["tokens_before"]) for r in a.collect())
+    kb = sorted((r["doc_id"], r["tokens_before"]) for r in b.collect())
+    assert ka == kb
