@@ -65,6 +65,64 @@ def images_df(spark: SparkSession, n_images: int = 1, **kw) -> DataFrame:
     return spark.createDataFrame(make_image_rows(n_images, **kw), schemas.IMAGES)
 
 
+def images_df_dist(
+    spark: SparkSession,
+    n_images: int,
+    width: int = 256,
+    height: int = 256,
+    bands: int = 3,
+    fmt: str = "raw",
+    seed: int = 0,
+    dtype: str = "uint8",
+    slices: int = 8,
+) -> DataFrame:
+    """Executor-side synthetic image table (same schema and per-row shape
+    as :func:`images_df`, but each image gets its own seeded RNG keyed on
+    its index, so content is deterministic AND independent of
+    partitioning).
+
+    ``images_df`` builds every payload driver-side and ships ~200 KB/row
+    through py4j — at 16k images (~3.2 GB) that pipe wedges for hours.
+    This path generates inside ``mapInPandas`` over ``spark.range``, so
+    staging parallelizes with the cluster; at real scale the input is an
+    existing table and never synthesized at all."""
+    import pandas as pd
+
+    transform = dict(zip("abcdef", IDENTITY_TRANSFORM))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            for lo in range(0, len(ids), 64):
+                chunk = ids[lo : lo + 64]
+                payloads, phashes = [], []
+                for i in chunk:
+                    rng = np.random.RandomState((seed + 0x9E3779B9 * (int(i) + 1)) % 2**32)
+                    data = np.multiply(rng.rand(bands, width, height), 256).astype(dtype)
+                    payloads.append(codec.encode_image(data, fmt))
+                    phashes.append(codec.phash64(data))
+                n = len(chunk)
+                yield pd.DataFrame(
+                    {
+                        "image_id": [f"img_{i:012d}" for i in chunk],
+                        "bytes": payloads,
+                        "w": np.full(n, width, dtype=np.int32),
+                        "h": np.full(n, height, dtype=np.int32),
+                        "fmt": [fmt] * n,
+                        "caption": [f"synthetic scene {i}" for i in chunk],
+                        "phash": np.asarray(phashes, dtype=np.int64),
+                        "transform": [transform] * n,
+                        "crs": [CRS] * n,
+                        "nodata": np.zeros(n, dtype=np.int32),
+                        "bands": np.full(n, bands, dtype=np.int32),
+                    }
+                )
+
+    return spark.range(0, n_images, numPartitions=max(1, slices)).mapInPandas(
+        gen, schemas.IMAGES
+    )
+
+
 def stage_images_parquet(
     spark: SparkSession, path: str, n_images: int, files: int = 8, **kw
 ) -> DataFrame:
@@ -73,11 +131,13 @@ def stage_images_parquet(
     A local-relation DataFrame re-ships its rows from the driver through
     py4j on EVERY action — benchmarks (and anything image-scale) must go
     through a real columnar table, which is also the engine's actual
-    input shape (Iceberg-like, BASELINE.json input_hint)."""
+    input shape (Iceberg-like, BASELINE.json input_hint). Generation is
+    executor-side (:func:`images_df_dist`) with one range-slice per
+    output file, so no shuffle and no driver bottleneck."""
     import os
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        images_df(spark, n_images, **kw).repartition(files).write.mode("overwrite").parquet(path)
+        images_df_dist(spark, n_images, slices=files, **kw).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
