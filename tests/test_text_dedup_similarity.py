@@ -400,6 +400,51 @@ class TestHammingNearDup:
         uncapped = multimodal.image_near_duplicates(df, max_hamming=3).count()
         assert uncapped == 1 + 30 * 29 // 2
 
+    @pytest.mark.parametrize("max_hamming", [1, 2, 4, 6])
+    def test_completeness_vs_brute_force_uncovered_bits(self, spark, max_hamming):
+        """Pigeonhole recall holds even when 64 % (max_hamming+1) != 0
+        and the TOP bits belong to no band (nb=3 -> bits 0..62 covered,
+        bit 63 bandless; nb=5 -> 60..63 bandless; nb=7 -> bit 63).
+        Uncovered-bit diffs can't make bands disagree, so such pairs are
+        always candidates; the exact verify must still count those bits.
+        Plants pairs differing ONLY in uncovered bits, pairs spread
+        adversarially one-bit-per-band, and random noise; banded output
+        must equal the 64-bit brute force exactly."""
+        rng = __import__("random").Random(max_hamming)
+        nb = max_hamming + 1
+        width = 64 // nb
+
+        def signed(v):
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        sigs = {}
+        for i in range(30):
+            sigs[i] = rng.getrandbits(64)
+        base = sigs[0]
+        # twin differing only in the top (possibly uncovered) bits
+        t = base
+        for k in range(max_hamming):
+            t ^= 1 << (63 - k)
+        sigs[200] = t
+        # twin with one differing bit in each of the first max_hamming
+        # bands (exactly one band left agreeing — pigeonhole tightness)
+        t2 = sigs[1]
+        for b in range(max_hamming):
+            t2 ^= 1 << (b * width + (b % width))
+        sigs[201] = t2
+        df = spark.createDataFrame(
+            [(k, signed(v)) for k, v in sigs.items()], ["image_id", "phash"]
+        )
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.hamming_near_duplicates(
+                df, "image_id", "phash", max_hamming=max_hamming
+            ).collect()
+        }
+        exp = self._python_pairs(sigs, max_hamming)
+        assert got == exp
+        assert (0, 200, max_hamming) in got and (1, 201, max_hamming) in got
+
 
 class TestSimilarity:
     def test_brute_force_topk_self_excluded(self, spark, embs):
