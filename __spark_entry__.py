@@ -586,6 +586,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return dedup.dedup_spans(docs, "doc_id", "text", k=3, min_count=2)
 
+    def q_decontaminate(spark, sf_dir):
+        # CROSS-corpus benchmark decontamination (GPT-3 appendix-C /
+        # PaLM n-gram rule at k=3 for the short synthetic docs): eval
+        # set = every 17th doc, corpus = the rest; the bench-shingle
+        # dictionary is broadcast so the corpus is never shuffled whole
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 17 == 0)
+        corpus = docs.filter(F.col("doc_id") % 17 != 0)
+        return dedup.decontaminate(corpus, bench, k=3).select(
+            "doc_id", "overlap_grams", "is_contaminated"
+        )
+
     def q_hash_split(spark, sf_dir):
         # shuffle-free deterministic train/val/test assignment (pure
         # projection — append-stable, engine-portable md5 buckets)
@@ -1330,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_span_dedup": q_span_dedup,
+        "q_decontaminate": q_decontaminate,
         "q_hash_split": q_hash_split,
         "q_stratified_split": q_stratified_split,
         "q_balanced_sample": q_balanced_sample,
@@ -2537,6 +2550,24 @@ r AS (
 SELECT doc_id, n_tokens, sample_rank,
        CAST(run - n_tokens AS BIGINT) AS tokens_before
 FROM r WHERE run <= 5000
+""",
+        # mirrors dedup.decontaminate(k=3): distinct corpus k-grams
+        # counted against the distinct benchmark-shingle dictionary
+        "q_decontaminate": r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 17 = 0),
+corp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 17 <> 0),
+m AS (SELECT c.doc_id, count(*) AS overlap_grams
+      FROM corp c JOIN bench b ON c.shingle = b.shingle GROUP BY c.doc_id)
+SELECT d.doc_id,
+       COALESCE(m.overlap_grams, 0) AS overlap_grams,
+       COALESCE(m.overlap_grams, 0) >= 1 AS is_contaminated
+FROM documents d LEFT JOIN m USING (doc_id)
+WHERE d.doc_id % 17 <> 0
 """,
         "q_span_dedup": r"""
 WITH toks AS (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') AS t

@@ -179,10 +179,17 @@ def dedup_spans(
 
 
 def word_shingles(text_col: str = "text", k: int = 3) -> "F.Column":
-    """Array of word k-grams (built-ins only: split + transform/sequence)."""
+    """Array of word k-grams (built-ins only: split + transform/sequence).
+
+    Docs with fewer than k tokens yield an EMPTY array: the sequence must
+    be gated on n >= k because Spark's two-arg ``sequence(1, 0)`` counts
+    DOWN to [1, 0] and the index-0 ``element_at`` then throws under ANSI
+    semantics (latent until a sub-k-token document shows up)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
@@ -248,6 +255,56 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "common", "jaccard")
     )
     return pairs
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+    min_overlaps: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents that share at
+    least ``min_overlaps`` DISTINCT word-k-grams with an evaluation /
+    benchmark set (the GPT-3 appendix-C / PaLM "13-gram overlap" rule;
+    ``k`` configurable because the synthetic test corpora are short).
+
+    Distinct from the dedup family above: dedup is corpus-INTERNAL,
+    this is CROSS-corpus hygiene — eval text must not leak into
+    training data. Returns every corpus row plus ``overlap_grams``
+    (count of the doc's distinct k-grams that appear anywhere in the
+    benchmark) and ``is_contaminated``; callers filter or audit.
+
+    Plan shape at 10^12 corpus rows: the benchmark side is an eval set
+    (1e3-1e6 rows), so its distinct-shingle dictionary is BROADCAST and
+    the fat corpus is scanned once and never shuffled whole — explode
+    corpus shingles (narrow), map-side broadcast-hash join against the
+    dictionary, partial-agg count per doc (only MATCHED rows, the
+    contaminated sliver, reach the exchange), then the tiny matched-id
+    table broadcasts back onto the corpus for the flag column.
+    """
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(word_shingles(bench_text_col, k))).alias("shingle")
+    ).distinct()
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("_did"),
+        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
+    )
+    matched = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        # per-doc shingles are already distinct (array_distinct above),
+        # so a plain count IS the distinct-overlap count
+        .groupBy("_did")
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+    )
+    out = corpus.join(F.broadcast(matched), corpus[id_col] == matched["_did"], "left")
+    return (
+        out.drop("_did")
+        .withColumn("overlap_grams", F.coalesce(F.col("overlap_grams"), F.lit(0)))
+        .withColumn("is_contaminated", F.col("overlap_grams") >= F.lit(min_overlaps))
+    )
 
 
 def minhash_params(num_perm: int = 64, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:

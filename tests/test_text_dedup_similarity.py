@@ -215,6 +215,94 @@ class TestJaccard:
         assert high_cap == uncapped
 
 
+class TestShortDocShingles:
+    def test_sub_k_token_docs_yield_empty_not_error(self, spark):
+        """Regression: Spark's two-arg sequence(1, 0) counts DOWN to
+        [1, 0] and the index-0/overflow element_at threw under ANSI for
+        any doc shorter than k tokens (latent — testdata has none)."""
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=""),
+                Row(doc_id=2, text="one"),
+                Row(doc_id=3, text="one two"),
+                Row(doc_id=4, text="a b c d e"),
+                Row(doc_id=5, text="a b c d e"),
+            ]
+        )
+        rows = {
+            r.doc_id: r.sh
+            for r in df.select(
+                "doc_id", dedup.word_shingles("text", 3).alias("sh")
+            ).collect()
+        }
+        assert rows[1] == [] and rows[2] == [] and rows[3] == []
+        assert rows[4] == ["a b c", "b c d", "c d e"]
+        # end-to-end through the jaccard self-join (the original crash site)
+        pairs = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+        assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(4, 5, 1.0)]
+
+
+class TestDecontaminate:
+    def _corpus_bench(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                # fully contains a bench 3-gram twice + unique tail
+                Row(doc_id=1, text="alpha beta gamma delta unique tail"),
+                # clean document
+                Row(doc_id=2, text="nothing in common with any benchmark"),
+                # shares exactly one 3-gram
+                Row(doc_id=3, text="xx yy epsilon zeta eta zz"),
+                # shorter than k: can never be contaminated
+                Row(doc_id=4, text="alpha beta"),
+                Row(doc_id=5, text=""),
+            ]
+        )
+        bench = spark.createDataFrame(
+            [
+                Row(doc_id=100, text="alpha beta gamma delta"),
+                Row(doc_id=101, text="epsilon zeta eta"),
+            ]
+        )
+        return corpus, bench
+
+    def test_matches_python_reference(self, spark):
+        corpus, bench = self._corpus_bench(spark)
+
+        def grams(t, k=3):
+            toks = t.split()
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        bset = set().union(*(grams(r.text) for r in bench.collect()))
+        exp = {
+            r.doc_id: len(grams(r.text) & bset) for r in corpus.collect()
+        }
+        got = {
+            r.doc_id: (r.overlap_grams, r.is_contaminated)
+            for r in dedup.decontaminate(corpus, bench, k=3).collect()
+        }
+        assert got == {d: (n, n >= 1) for d, n in exp.items()}
+        assert got[1] == (2, True) and got[2] == (0, False)
+        assert got[3] == (1, True) and got[4] == (0, False) and got[5] == (0, False)
+
+    def test_min_overlaps_threshold_and_columns(self, spark):
+        corpus, bench = self._corpus_bench(spark)
+        out = dedup.decontaminate(corpus, bench, k=3, min_overlaps=2)
+        flags = {r.doc_id: r.is_contaminated for r in out.collect()}
+        assert flags == {1: True, 2: False, 3: False, 4: False, 5: False}
+        # all original corpus columns survive
+        assert set(out.columns) == {"doc_id", "text", "overlap_grams", "is_contaminated"}
+
+    def test_bench_dictionary_is_broadcast(self, spark):
+        corpus, bench = self._corpus_bench(spark)
+        plan = (
+            dedup.decontaminate(corpus, bench, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
 class TestMinHashLSH:
     def test_recall_vs_exact_jaccard(self, spark, docs):
         sample = docs.limit(120).cache()
