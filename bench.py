@@ -105,6 +105,7 @@ def main() -> None:
         "q_text_quality",
         "q_exact_dedup",
         "q_span_dedup",
+        "q_decontaminate",
         "q_stratified_split",
         "q_pack_chunks",
         "q_minhash_lsh",
