@@ -148,6 +148,12 @@ def main() -> None:
             t0 = time.perf_counter()
             n = queries[name](spark, sf_dir).count()
             rr.append(round(time.perf_counter() - t0, 3))
+            # operators that persist() intermediates (span dedup, pack
+            # chunks, minhash shingles, CC edges) would otherwise serve
+            # rep >= 2 from rep 1's cache — Spark's CacheManager matches
+            # canonicalized plans across separate query objects — so the
+            # reps would time a cache read, not the operator
+            spark.catalog.clearCache()
         reps[name] = rr
         times[name] = median(rr)
         print(f"# {name}: {times[name]}s median of {rr} ({n} rows)", file=sys.stderr)
