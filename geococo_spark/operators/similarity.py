@@ -358,12 +358,18 @@ def neardup_candidate_ids(
     n_tables: int = 6,
     seed: int = 500,
     max_bucket_size: int | None = None,
+    persist_tagged: bool = False,
 ) -> DataFrame:
     """Candidate-pair generation half of
     :func:`embedding_near_duplicates` — hyperplane banding over ids-only
     rows, optional hot-bucket cap, canonical dedup. Split out (round 5)
     so scaling benches can phase-decompose banding vs verify wall time;
-    ``base`` must carry (vid, emb) columns."""
+    ``base`` must carry (vid, emb) columns.
+
+    ``persist_tagged`` pins the (vid, table, bucket) rows: the self-join
+    (and the cap census when enabled) otherwise recomputes the signature
+    Arrow pass per use — ReusedExchange never fires because the two
+    sides' exchanges differ."""
     planes = [int_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
     # all tables in ONE Arrow pass; posexplode's position == table index
     # (bit-identical buckets to the per-table UDFs, same oracle SQL)
@@ -372,6 +378,8 @@ def neardup_candidate_ids(
     tagged = base.select(
         "vid", F.posexplode(sig_all(qcol)).alias("t", "b")
     ).select("vid", F.col("t").cast("int").alias("t"), "b")
+    if persist_tagged:
+        tagged = tagged.persist()
     if max_bucket_size is not None:
         keep = (
             tagged.groupBy("t", "b")
@@ -404,6 +412,7 @@ def embedding_near_duplicates(
     seed: int = 500,
     max_bucket_size: int | None = None,
     broadcast_vectors_rows: int = 200_000,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup driver brief): LSH-bucketed
     self-join + exact cosine filter; canonical (id_a < id_b) pairs.
@@ -439,11 +448,20 @@ def embedding_near_duplicates(
     rows); pairs co-bucketed ONLY in over-full buckets are missed
     (recall-only tradeoff — the verify threshold is unchanged). Mirror
     the cap in the oracle SQL when used.
+
+    ``persist_intermediates`` (default True) pins the banded id rows and
+    the quantized (qv, norm) table, which otherwise each compute TWICE
+    (both sides of the candidate self-join / both verify attaches —
+    ReusedExchange never fires because the sides differ). Measured 1.15x
+    at the bench scale (tools/ab_emb_persist_r7.py); the saving is two
+    full-corpus Arrow passes, so it grows with corpus size. The pinned
+    footprint is ~(1 + n_tables) thin rows per vector plus the quantized
+    vectors — disable when executor storage is the binding constraint.
     """
     base = vectors.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
     cand_ids = neardup_candidate_ids(
         base, dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, persist_tagged=persist_intermediates,
     )
     # verify on candidates only, with squared norms computed ONCE per
     # vector (the per-pair re-computation was 3 array-dots per candidate
@@ -451,6 +469,11 @@ def embedding_near_duplicates(
     qbase = base.select(
         "vid", _qvec(F.col("emb")).alias("qv")
     ).withColumn("nv", _dot(F.col("qv"), F.col("qv")))
+    if persist_intermediates:
+        # qbase feeds both attach sides; without the pin the _qvec Arrow
+        # pass runs once per side (no ReusedExchange: the sides broadcast
+        # or exchange under different projections)
+        qbase = qbase.persist()
     qa_side = qbase.select(
         F.col("vid").alias("id_a"), F.col("qv").alias("qa"), F.col("nv").alias("na")
     )
