@@ -408,6 +408,7 @@ def minhash_lsh_pairs(
     seed: int = 1,
     portable: bool = False,
     max_bucket_size: int | None = None,
+    persist_banded: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
@@ -427,6 +428,13 @@ def minhash_lsh_pairs(
     OTHER bands (a pair sharing one oversize bucket usually shares a
     smaller one too); exact duplicates should be removed by
     :func:`exact_duplicates` first — that is the pipeline order.
+
+    ``persist_banded`` (default True) pins the ids-only (doc, band,
+    bucket) rows: both self-join sides otherwise recompute the
+    signature Arrow pass + banding from the shingle cache (no
+    ReusedExchange across the sides). Measured 1.13x at sf0.1
+    (tools/ab_emb_persist_r7.py's sibling probe, equality-gated); the
+    pinned footprint is 3 scalars x bands per doc.
     """
     rows_per_band = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm=num_perm, seed=seed)
@@ -468,6 +476,11 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
+    if persist_banded:
+        # both self-join sides otherwise recompute sig UDF + banding
+        # from the shingle cache (no ReusedExchange across the sides);
+        # the pinned rows are ids-only (doc, band, bucket)
+        banded = banded.persist()
 
     cand_ids = (
         banded.alias("a")
