@@ -267,6 +267,7 @@ def append_dataset(
     checkpoint_exact_digest: bool = False,
     kernel_input_mode: str = "cogroup",
     broadcast_pairs_rows: int | None = None,
+    kernel_schedule: str = "fused",
 ) -> CocoState:
     """Run the full annotate pipeline and return the appended state.
 
@@ -330,6 +331,22 @@ def append_dataset(
     images-side exchange writes+reads the full input through the
     shuffle fabric once; broadcast mode exists precisely to delete that
     byte-move when the pair metadata fits a broadcast.
+
+    ``kernel_schedule`` (round 7 stage-scheduling probe): how the
+    cogroup kernel stage is scheduled. ``"fused"`` (default) — one
+    action, shuffle and burn pipelined per task, maximum overlap.
+    ``"preshuffle"`` — both cogroup sides are hash-repartitioned on
+    (image_id, band) and persisted FIRST (two shuffle-only jobs), then
+    the burn stage reads the cached pre-partitioned blocks with no
+    exchange (the cached plan's outputPartitioning satisfies the
+    cogroup's distribution), so the DRAM-bound burn never co-runs with
+    shuffle traffic. ``"waves:<k>"`` — images hash into k disjoint
+    waves; the kernel runs as k sequential smaller jobs (each full
+    parallelism over 1/k of the groups), reducing concurrency
+    diversity. Output is byte-identical across schedules (pinned by
+    test); only the ``"cogroup"`` input mode supports non-fused
+    schedules. Measured in tools/ab_kernel_schedule_r7.py — see
+    BENCH/BASELINE.md for the verdict before using either.
 
     ``checkpoint_exact_digest`` (ADVICE r02): by default the checkpoint
     fingerprint trusts the upstream ``phash`` column to track pixel
@@ -690,6 +707,12 @@ def append_dataset(
     img_cg, pairs_banded = banded_cogroup_inputs(images, pairs_thin, band_split_pairs)
     if kernel_input_mode not in ("auto", "broadcast", "cogroup", "cogroup_packed"):
         raise ValueError(f"unknown kernel_input_mode: {kernel_input_mode!r}")
+    if kernel_schedule != "fused" and not (
+        kernel_schedule == "preshuffle"
+        or (kernel_schedule.startswith("waves:") and kernel_schedule[6:].isdigit()
+            and int(kernel_schedule[6:]) >= 2)
+    ):
+        raise ValueError(f"unknown kernel_schedule: {kernel_schedule!r}")
     mode = kernel_input_mode
     if mode == "auto":
         # threshold derived from cluster shape unless the caller pinned
@@ -702,6 +725,11 @@ def append_dataset(
             else auto_broadcast_pairs_rows(spark)
         )
         mode = "broadcast" if pairs_thin.count() <= thr else "cogroup"
+    if kernel_schedule != "fused" and mode != "cogroup":
+        raise ValueError(
+            f"kernel_schedule={kernel_schedule!r} requires the 'cogroup' input "
+            f"mode (resolved mode: {mode!r})"
+        )
     _mark("pairs_join")
 
     acc = metrics.acc if metrics is not None else None
@@ -782,14 +810,48 @@ def append_dataset(
         )
     else:
         pairs_small = _with_geom_rows(pairs_banded)
-        kout = (
-            img_cg.groupBy("image_id", "band")
-            .cogroup(pairs_small.groupBy("image_id", "band"))
-            .applyInPandas(
-                cogroup_kernel(out_fmt, acc, tile_sink_dir, cache_max_bytes),
-                schemas.KERNEL_OUT,
+        _kernel_fn = cogroup_kernel(out_fmt, acc, tile_sink_dir, cache_max_bytes)
+
+        def _cogroup(img_side, pairs_side):
+            return (
+                img_side.groupBy("image_id", "band")
+                .cogroup(pairs_side.groupBy("image_id", "band"))
+                .applyInPandas(_kernel_fn, schemas.KERNEL_OUT)
             )
-        )
+
+        if kernel_schedule == "preshuffle":
+            # shuffle first (two shuffle-only jobs), burn second from the
+            # cached pre-partitioned blocks — no exchange inside the burn
+            # stage, so the DRAM-bound kernel never co-runs with shuffle
+            npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            img_side = img_cg.repartition(npart, "image_id", "band").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            pairs_side = pairs_small.repartition(npart, "image_id", "band").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            _ps0 = _time.perf_counter()
+            img_side.count()
+            pairs_side.count()
+            if timings is not None:
+                timings["kernel_preshuffle"] = round(_time.perf_counter() - _ps0, 3)
+            kout = _cogroup(img_side, pairs_side)
+        elif kernel_schedule.startswith("waves:"):
+            # k sequential smaller kernel jobs over disjoint image waves
+            n_waves = int(kernel_schedule[6:])
+            wave_parts = []
+            for w in range(n_waves):
+                wcond = F.pmod(F.xxhash64("image_id"), F.lit(n_waves)) == w
+                kw = _cogroup(
+                    img_cg.filter(wcond), pairs_small.filter(wcond)
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                kw.count()  # sequential action: wave w completes before w+1
+                wave_parts.append(kw)
+            kout = wave_parts[0]
+            for p in wave_parts[1:]:
+                kout = kout.unionByName(p)
+        else:
+            kout = _cogroup(img_cg, pairs_small)
     if ckpt is not None:
         if tile_sink_dir is not None and ckpt.is_complete("kernel_out", fingerprint):
             # resume hit in sink mode: the kernel will NOT re-run, so the

@@ -351,6 +351,27 @@ class TestKernelScaleShape:
         )
         assert _state_snapshot(packed_both) == base
 
+    def test_kernel_schedule_output_identical(self, spark, tmp_path):
+        """Round-7 stage-scheduling probe: the schedule changes WHEN the
+        kernel's shuffle and burn run relative to each other (fused |
+        shuffle-then-burn | k sequential waves), never WHAT the engine
+        outputs — and it composes with band splitting + the tile sink."""
+        base = _state_snapshot(self._run(spark, kernel_schedule="fused"))
+        pre = self._run(spark, kernel_schedule="preshuffle")
+        assert _state_snapshot(pre) == base
+        waves = self._run(
+            spark, kernel_schedule="waves:3", band_split_pairs=2,
+            tile_sink_dir=str(tmp_path / "waves_sink"),
+        )
+        assert _state_snapshot(waves) == base
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="kernel_schedule"):
+            self._run(spark, kernel_schedule="waves:1")
+        with _pytest.raises(ValueError, match="requires the 'cogroup'"):
+            self._run(spark, kernel_schedule="preshuffle",
+                      kernel_input_mode="broadcast")
+
     def test_broadcast_mode_images_side_unshuffled(self, spark):
         """Plan-level: in broadcast mode the images scan must feed the
         kernel through a BroadcastHashJoin with NO hash exchange keyed on
