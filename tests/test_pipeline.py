@@ -372,7 +372,48 @@ class TestKernelScaleShape:
             self._run(spark, kernel_schedule="preshuffle",
                       kernel_input_mode="broadcast")
 
-    def test_broadcast_mode_images_side_unshuffled(self, spark):
+    def test_preshuffle_burn_stage_has_no_exchange(self, spark):
+        """Plan-level pin of the docs/PLANS.md scheduling claim: under
+        kernel_schedule="preshuffle" the cogroup reads BOTH sides from
+        cached pre-partitioned blocks — FlatMapCoGroupsInPandas sits
+        directly on two InMemoryTableScans, with no Exchange between
+        the scan and the burn (the cached plan's outputPartitioning
+        satisfies the cogroup's ClusteredDistribution)."""
+        import re
+
+        state = self._run(spark, kernel_schedule="preshuffle")
+        plan = state.annotations._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+
+        def _depth(line):
+            m = re.search(r"[A-Za-z]", line)
+            return m.start() if m else None
+
+        idx = [i for i, l in enumerate(lines) if "FlatMapCoGroupsInPandas" in l]
+        assert idx, plan[:2000]
+        node_depth = _depth(lines[idx[0]])
+        # walk the cogroup's subtree; exchanges INSIDE an
+        # InMemoryRelation's cached plan are fine (they ran in the
+        # earlier shuffle-only jobs), so skip each cached subtree
+        scans, skip_below = 0, None
+        for l in lines[idx[0] + 1:]:
+            d = _depth(l)
+            if d is None:
+                continue
+            if skip_below is not None:
+                if d > skip_below:
+                    continue
+                skip_below = None
+            if d <= node_depth:
+                break  # dedented past the cogroup's subtree
+            if "InMemoryRelation" in l:
+                skip_below = d
+                continue
+            if "InMemoryTableScan" in l:
+                scans += 1
+                continue
+            assert "Exchange" not in l, f"exchange above the cache: {l}\n{plan[:3000]}"
+        assert scans == 2, plan[:3000]
         """Plan-level: in broadcast mode the images scan must feed the
         kernel through a BroadcastHashJoin with NO hash exchange keyed on
         image_id — the encoded bytes never enter a shuffle."""

@@ -991,3 +991,64 @@ class TestSpanDedup:
             for d in range(60)
         ]
         self._run(spark, rows, k=4)
+
+
+class TestPartitionInvariance:
+    """Content-addressed operators must be layout-blind: the same corpus
+    split 1 way vs 13 ways (and in scrambled row order) must produce
+    IDENTICAL results — any drift means a partition-dependent hash,
+    sample, or window snuck into the plan. This is the property that
+    lets the 100 TB job survive AQE coalescing, speculative retries,
+    and input re-bucketing without changing its answer."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+    def _layouts(self, df):
+        return [
+            df.coalesce(1),
+            df.repartition(13),
+            df.orderBy(F.reverse(F.col("text").cast("string"))).repartition(7),
+        ]
+
+    @staticmethod
+    def _snap(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    def test_minhash_pairs_partition_invariant(self, spark):
+        base = None
+        for layout in self._layouts(self._docs(spark)):
+            got = self._snap(
+                dedup.minhash_lsh_pairs(layout, k=3, threshold=0.4,
+                                        max_bucket_size=64)
+            )
+            base = got if base is None else base
+            assert got == base
+
+    def test_simhash_pairs_partition_invariant(self, spark):
+        base = None
+        for layout in self._layouts(self._docs(spark)):
+            got = self._snap(
+                dedup.simhash_pairs(layout, max_hamming=6, max_bucket_size=64)
+            )
+            base = got if base is None else base
+            assert got == base
+
+    def test_span_dedup_partition_invariant(self, spark):
+        base = None
+        for layout in self._layouts(self._docs(spark)):
+            got = self._snap(dedup.dedup_spans(layout, k=8))
+            base = got if base is None else base
+            assert got == base
+
+    def test_cluster_labels_partition_invariant(self, spark):
+        edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (30, 33)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        base = None
+        for layout in [df.coalesce(1), df.repartition(11)]:
+            got = self._snap(dedup.duplicate_clusters(layout))
+            base = got if base is None else base
+            assert got == base
