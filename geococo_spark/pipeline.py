@@ -822,13 +822,24 @@ def append_dataset(
         if kernel_schedule == "preshuffle":
             # shuffle first (two shuffle-only jobs), burn second from the
             # cached pre-partitioned blocks — no exchange inside the burn
-            # stage, so the DRAM-bound kernel never co-runs with shuffle
+            # stage, so the DRAM-bound kernel never co-runs with shuffle.
+            # The no-split band column is lit(0); constant folding would
+            # turn the cache's partitioning into hashpartitioning(
+            # image_id, 0), which cannot satisfy the cogroup's
+            # ATTRIBUTE-based distribution and re-inserts an
+            # ENSURE_REQUIREMENTS exchange — rebuild band non-foldably
+            # (pmod(hash, 1) == 0 always, but no folding rule knows)
             npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            img_side = img_cg.repartition(npart, "image_id", "band").persist(
-                StorageLevel.MEMORY_AND_DISK
+            _nz = F.pmod(F.xxhash64("image_id"), F.lit(1)).cast("int")
+            img_side = (
+                img_cg.withColumn("band", F.col("band") + _nz)
+                .repartition(npart, "image_id", "band")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            pairs_side = pairs_small.repartition(npart, "image_id", "band").persist(
-                StorageLevel.MEMORY_AND_DISK
+            pairs_side = (
+                pairs_small.withColumn("band", F.col("band") + _nz)
+                .repartition(npart, "image_id", "band")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             _ps0 = _time.perf_counter()
             img_side.count()

@@ -379,41 +379,53 @@ class TestKernelScaleShape:
         directly on two InMemoryTableScans, with no Exchange between
         the scan and the burn (the cached plan's outputPartitioning
         satisfies the cogroup's ClusteredDistribution)."""
-        import re
-
         state = self._run(spark, kernel_schedule="preshuffle")
-        plan = state.annotations._jdf.queryExecution().executedPlan().toString()
-        lines = plan.splitlines()
+        jplan = state.annotations._jdf.queryExecution().executedPlan()
 
-        def _depth(line):
-            m = re.search(r"[A-Za-z]", line)
-            return m.start() if m else None
+        # generic JVM-tree walk: AQE wrappers (AdaptiveSparkPlanExec /
+        # *QueryStageExec) hide their physical child behind accessors,
+        # and InMemoryTableScanExec hides the cached plan — the
+        # toString indentation is NOT walkable (AQE "== Final Plan =="
+        # sub-dumps reset it), so traverse nodes, not text
+        def _kids(n, into_cache):
+            cls = n.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                return [n.executedPlan()]
+            if "QueryStage" in cls:
+                return [n.plan()]
+            if cls == "InMemoryTableScanExec":
+                return [n.relation().cachedPlan()] if into_cache else []
+            ch = n.children()
+            return [ch.apply(i) for i in range(ch.size())]
 
-        idx = [i for i, l in enumerate(lines) if "FlatMapCoGroupsInPandas" in l]
-        assert idx, plan[:2000]
-        node_depth = _depth(lines[idx[0]])
-        # walk the cogroup's subtree; exchanges INSIDE an
-        # InMemoryRelation's cached plan are fine (they ran in the
-        # earlier shuffle-only jobs), so skip each cached subtree
-        scans, skip_below = 0, None
-        for l in lines[idx[0] + 1:]:
-            d = _depth(l)
-            if d is None:
-                continue
-            if skip_below is not None:
-                if d > skip_below:
-                    continue
-                skip_below = None
-            if d <= node_depth:
-                break  # dedented past the cogroup's subtree
-            if "InMemoryRelation" in l:
-                skip_below = d
-                continue
-            if "InMemoryTableScan" in l:
-                scans += 1
-                continue
-            assert "Exchange" not in l, f"exchange above the cache: {l}\n{plan[:3000]}"
-        assert scans == 2, plan[:3000]
+        def _find(n, name):
+            if name in n.getClass().getSimpleName():
+                return n
+            for c in _kids(n, into_cache=True):
+                r = _find(c, name)
+                if r is not None:
+                    return r
+            return None
+
+        def _flatten(n):
+            cls = n.getClass().getSimpleName()
+            out = [cls]
+            if cls != "InMemoryTableScanExec":  # stop at the cache boundary
+                for c in _kids(n, into_cache=False):
+                    out += _flatten(c)
+            return out
+
+        cg = _find(jplan, "FlatMapCoGroupsInPandas")
+        assert cg is not None
+        ch = cg.children()
+        assert ch.size() == 2
+        for i in range(2):
+            side = _flatten(ch.apply(i))
+            # the burn stage's input: scan of the pre-shuffled cache,
+            # with NO exchange above it (exchanges inside the cached
+            # plan ran in the earlier shuffle-only jobs)
+            assert "InMemoryTableScanExec" in side, side
+            assert not any("ShuffleExchange" in c for c in side), side
         """Plan-level: in broadcast mode the images scan must feed the
         kernel through a BroadcastHashJoin with NO hash exchange keyed on
         image_id — the encoded bytes never enter a shuffle."""

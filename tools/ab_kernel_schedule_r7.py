@@ -27,16 +27,22 @@ Outputs are byte-identical across schedules (pinned by
 tests/test_pipeline.py::test_kernel_schedule_output_identical).
 
 RESULT (round 7, one window, ceilings 0.90-0.98): FUSED WINS at both
-parallelism levels — kernel-phase medians at p=32: fused 4.87 s,
-preshuffle 6.34 s (1.30x), waves:2 8.10 s (1.67x); at p=8: fused
-6.84 s, preshuffle 7.70 s (1.13x), waves:2 10.15 s (1.48x). The
-decomposition VALIDATES the co-run-inflation hypothesis while
-rejecting the fix: preshuffle's burn-only wall (kernel minus the
-timed shuffle jobs) is 3.67 s at p=32 / 5.06 s at p=8, i.e. the burn
-really is ~1.33-1.35x slower when co-running with its shuffle — but
-fusion hides the ENTIRE 2.5-3.0 s shuffle behind the burn, which more
-than pays for the inflation. Sequential waves lose overlap AND pay
-double stage startup. The fused schedule stays the only default; both
+parallelism levels. First campaign (p=32/p=8): preshuffle 1.30x/1.13x,
+waves:2 1.67x/1.48x vs fused. That first preshuffle build had a LATENT
+spurious exchange — the no-split band column is lit(0), constant
+folding turned the cache's partitioning into hashpartitioning(
+image_id, 0), which cannot satisfy the cogroup's attribute-based
+distribution, so AQE re-inserted an ENSURE_REQUIREMENTS shuffle INSIDE
+the burn stage. After rebuilding band non-foldably (pmod(hash,1),
+plan-pinned by test_preshuffle_burn_stage_has_no_exchange), the
+same-window re-run at p=32: fused 5.12 s, preshuffle 5.96 s (1.16x),
+waves:2 8.47 s (1.66x); preshuffle's timed shuffle 2.93 s, burn-only
+3.03 s. So the TRUE decomposition: the burn alone is 1.69x faster
+without co-running shuffle (5.12 -> 3.03) — the co-run inflation is
+real and larger than the triad proxy suggested — but fusion hides the
+entire ~2.9 s shuffle behind the burn, which still more than pays for
+it (5.12 < 3.03 + 2.93). Sequential waves lose overlap AND pay double
+stage startup. The fused schedule stays the only default; both
 alternatives remain as kernel_schedule= options with this verdict
 attached. Full numbers in BENCH/BASELINE.md "Stage-scheduling probe".
 
