@@ -541,6 +541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens"
         )
 
+    def q_vocab(spark, sf_dir):
+        # corpus vocabulary: two combiner-friendly aggs, deterministic
+        # top-k cut (total ordering), no count-distinct expand
+        return text.vocab_stats(_t(spark, sf_dir, "documents"), top_k=500)
+
     def q_bpe_tokens(spark, sf_dir):
         return text.with_bpe_token_estimate(_t(spark, sf_dir, "documents")).select(
             "doc_id", "n_pieces", "n_bpe_tokens"
@@ -1334,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_fallback": q_date_fallback,
         "q_events_window": q_events_window,
         "q_text_stats": q_text_stats,
+        "q_vocab": q_vocab,
         "q_bpe_tokens": q_bpe_tokens,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
@@ -2348,6 +2354,24 @@ SELECT doc_id,
        CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
          AS n_distinct_tokens
 FROM documents
+""",
+        "q_vocab": r"""
+WITH toks AS (
+  SELECT _doc, t AS term FROM (
+    SELECT doc_id AS _doc,
+           unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS t
+    FROM documents)
+  WHERE t <> ''
+), pdt AS (
+  SELECT term, _doc, count(*) AS n FROM toks GROUP BY term, _doc
+)
+SELECT term,
+       CAST(sum(n) AS BIGINT) AS term_freq,
+       CAST(count(*) AS BIGINT) AS doc_freq
+FROM pdt
+GROUP BY term
+ORDER BY doc_freq DESC, term_freq DESC, term ASC
+LIMIT 500
 """,
         "q_bpe_tokens": r"""
 SELECT doc_id,

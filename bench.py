@@ -103,6 +103,7 @@ def main() -> None:
         "q_annotation_ids",
         "q_window_grid",
         "q_text_quality",
+        "q_vocab",
         "q_exact_dedup",
         "q_span_dedup",
         "q_decontaminate",

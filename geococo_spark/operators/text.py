@@ -174,6 +174,64 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = 1000,
+    min_doc_freq: int = 1,
+    with_idf: bool = False,
+) -> DataFrame:
+    """Corpus vocabulary statistics: per lowercase whitespace token,
+    total occurrences (``term_freq``) and number of distinct documents
+    containing it (``doc_freq``), the primitives behind vocabulary
+    builds, stopword discovery, and TF-IDF weighting in a
+    training-data pipeline.
+
+    Scale shape: two keyed aggregations, both combiner-friendly —
+    groupBy (term, doc) first (map-side partial collapses each
+    document's repeats before anything crosses the wire; a hot term
+    like "the" enters the second shuffle as at most one row per
+    document, never one per occurrence), then groupBy (term) summing
+    counts. No count(DISTINCT) expand, no window over the full corpus.
+    ``top_k`` lands as TakeOrderedAndProject (per-partition top-k,
+    driver merges k rows per partition — never a global sort of the
+    vocabulary); the ordering (doc_freq desc, term_freq desc, term
+    asc) is total, so the cut is deterministic. ``top_k=None`` returns
+    the full vocabulary table for sink-side consumption.
+
+    ``with_idf`` adds smoothed idf = round(ln((N+1)/(doc_freq+1)), 6)
+    (N = corpus document count, attached as a broadcast-ish 1-row
+    aggregate); excluded from the DuckDB oracle query (libm ln parity
+    is not guaranteed) and pinned by pytest against math.log instead.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    per_doc_term = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("term"))
+        .groupBy("term", "_doc")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    stats = per_doc_term.groupBy("term").agg(
+        F.sum("_n").cast("long").alias("term_freq"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+    if min_doc_freq > 1:
+        stats = stats.filter(F.col("doc_freq") >= min_doc_freq)
+    if with_idf:
+        n_docs = df.select(F.count(F.lit(1)).alias("_nd"))
+        stats = stats.crossJoin(F.broadcast(n_docs)).withColumn(
+            "idf",
+            F.round(F.log((F.col("_nd") + 1.0) / (F.col("doc_freq") + 1.0)), 6),
+        ).drop("_nd")
+    stats = stats.orderBy(
+        F.desc("doc_freq"), F.desc("term_freq"), F.asc("term")
+    )
+    return stats.limit(top_k) if top_k is not None else stats
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", prefix_len: int = 64) -> DataFrame:
     """Document fingerprint: position-weighted checksum of the first
     ``prefix_len`` code points, mod 2^31-1 (a rolling-hash stand-in that

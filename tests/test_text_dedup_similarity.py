@@ -1052,3 +1052,75 @@ class TestPartitionInvariance:
             got = self._snap(dedup.duplicate_clusters(layout))
             base = got if base is None else base
             assert got == base
+
+
+class TestVocabStats:
+    ROWS = [
+        (1, "The cat sat on the mat"),
+        (2, "the dog ATE the cat food"),
+        (3, "  "),
+        (4, None),
+        (5, "mat mat mat"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id int, text string")
+
+    def _reference(self):
+        from collections import Counter
+
+        tf, dfc = Counter(), Counter()
+        for _, t in self.ROWS:
+            toks = [w for w in (t or "").lower().split() if w]
+            tf.update(toks)
+            dfc.update(set(toks))
+        return {w: (tf[w], dfc[w]) for w in tf}
+
+    def test_matches_python_reference(self, spark):
+        got = {
+            r.term: (r.term_freq, r.doc_freq)
+            for r in text.vocab_stats(self._df(spark), top_k=None).collect()
+        }
+        assert got == self._reference()
+
+    def test_topk_cut_is_deterministic_and_total_ordered(self, spark):
+        ref = self._reference()
+        want = sorted(ref.items(), key=lambda kv: (-kv[1][1], -kv[1][0], kv[0]))
+        for k in (1, 3, len(ref)):
+            got = [
+                (r.term, (r.term_freq, r.doc_freq))
+                for r in text.vocab_stats(self._df(spark), top_k=k).collect()
+            ]
+            assert got == want[:k]
+
+    def test_min_doc_freq(self, spark):
+        got = {
+            r.term
+            for r in text.vocab_stats(
+                self._df(spark), top_k=None, min_doc_freq=2
+            ).collect()
+        }
+        assert got == {w for w, (_, d) in self._reference().items() if d >= 2}
+
+    def test_idf_matches_math_log(self, spark):
+        import math
+
+        n = len(self.ROWS)
+        rows = text.vocab_stats(self._df(spark), top_k=None, with_idf=True).collect()
+        assert rows
+        for r in rows:
+            assert r.idf == round(math.log((n + 1) / (r.doc_freq + 1)), 6)
+
+    def test_no_countdistinct_expand_in_plan(self, spark):
+        """Scale-shape pin: the doc_freq path must be the two-stage
+        (term, doc) -> (term) aggregation, not count(DISTINCT)'s Expand."""
+        plan = (
+            text.vocab_stats(self._df(spark), top_k=None)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Expand" not in plan, plan[:2000]
+
+    def test_runs_on_documents_table(self, docs):
+        top = text.vocab_stats(docs, top_k=5).collect()
+        assert 0 < len(top) <= 5
+        assert all(r.term_freq >= r.doc_freq >= 1 for r in top)
