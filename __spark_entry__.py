@@ -541,6 +541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens"
         )
 
+    def q_pii_scrub(spark, sf_dir):
+        return text.with_pii_scrub(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_emails", "n_ipv4", "n_phones", "text_scrubbed"
+        )
+
     def q_vocab(spark, sf_dir):
         # corpus vocabulary: two combiner-friendly aggs, deterministic
         # top-k cut (total ordering), no count-distinct expand
@@ -1340,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_window": q_events_window,
         "q_text_stats": q_text_stats,
         "q_vocab": q_vocab,
+        "q_pii_scrub": q_pii_scrub,
         "q_bpe_tokens": q_bpe_tokens,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
@@ -2354,6 +2360,22 @@ SELECT doc_id,
        CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
          AS n_distinct_tokens
 FROM documents
+""",
+        "q_pii_scrub": r"""
+WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t0 FROM documents),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+       FROM s0),
+s2 AS (SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+              regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ipv4,
+              CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+              regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, n_emails, n_ipv4, n_phones, t3 AS text_scrubbed FROM s3
 """,
         "q_vocab": r"""
 WITH toks AS (

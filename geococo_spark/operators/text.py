@@ -174,6 +174,51 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept to the regex subset with identical semantics in
+# Java regex (Spark, JVM-side) and RE2 (DuckDB oracle): char classes,
+# bounded repetition, \b ASCII word boundary — no lookaround/backrefs
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction (the scrub stage every training-data pipeline runs
+    before anything leaves the raw zone): emails, IPv4 addresses, and
+    phone-number-shaped digit runs are replaced with typed placeholders,
+    with per-category match counts for audit metrics.
+
+    Scrubbing is SEQUENTIAL (emails -> IPv4 -> phones) and each count
+    is taken on that stage's input, so a dotted host inside an email
+    is counted once as email, never again as an address; the
+    placeholders contain no digits, so earlier redactions cannot
+    create later phone matches. Pure JVM regexp built-ins — one
+    projection, no shuffle, no Python; per-row cost is linear in text
+    length (RE2-compatible patterns, no backtracking blowup).
+
+    Adds ``n_emails``, ``n_ipv4``, ``n_phones``, ``text_scrubbed``.
+    """
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.size(
+        F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), F.lit(0))
+    ).cast("long")
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ipv4 = F.size(
+        F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), F.lit(0))
+    ).cast("long")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(
+        F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0))
+    ).cast("long")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_ipv4", n_ipv4)
+        .withColumn("n_phones", n_phones)
+        .withColumn("text_scrubbed", t3)
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1124,3 +1124,77 @@ class TestVocabStats:
         top = text.vocab_stats(docs, top_k=5).collect()
         assert 0 < len(top) <= 5
         assert all(r.term_freq >= r.doc_freq >= 1 for r in top)
+
+
+class TestPiiScrub:
+    ROWS = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (2, "server 192.168.0.17 and 8.8.8.8 are up"),
+        (3, "call +1 (555) 123-4567 or 555 867 5309"),
+        (4, "mixed: bob@host.org from 10.0.0.1 dialed 555-123-9876"),
+        (5, "no pii here, just words and 3 digits"),
+        (6, ""),
+        (7, None),
+    ]
+
+    def _run(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id int, text string")
+        return {
+            r.doc_id: (r.n_emails, r.n_ipv4, r.n_phones, r.text_scrubbed)
+            for r in text.with_pii_scrub(df).collect()
+        }
+
+    def _reference(self):
+        import re
+
+        out = {}
+        for i, t in self.ROWS:
+            t0 = t or ""
+            ne = len(re.findall(text.PII_EMAIL_RE, t0))
+            t1 = re.sub(text.PII_EMAIL_RE, "<EMAIL>", t0)
+            ni = len(re.findall(text.PII_IPV4_RE, t1))
+            t2 = re.sub(text.PII_IPV4_RE, "<IP>", t1)
+            np_ = len(re.findall(text.PII_PHONE_RE, t2))
+            t3 = re.sub(text.PII_PHONE_RE, "<PHONE>", t2)
+            out[i] = (ne, ni, np_, t3)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        got = self._run(spark)
+        assert got == self._reference()
+        # semantic spot checks, independent of the reference impl
+        assert got[1][0] == 1 and "<EMAIL>" in got[1][3]
+        assert got[2][1] == 2 and got[2][3].count("<IP>") == 2
+        assert got[3][2] == 2 and got[3][3].count("<PHONE>") == 2
+        assert got[4][:3] == (1, 1, 1)
+        assert got[5] == (0, 0, 0, self.ROWS[4][1])
+        assert got[6] == (0, 0, 0, "") and got[7] == (0, 0, 0, "")
+
+    def test_email_host_not_double_counted_as_ip(self, spark):
+        df = spark.createDataFrame([(1, "x@10.0.0.1.example.com only")],
+                                   "doc_id int, text string")
+        r = text.with_pii_scrub(df).first()
+        # the dotted host is consumed by the email scrub; the IPv4 pass
+        # sees only the placeholder
+        assert (r.n_emails, r.n_ipv4, r.n_phones) == (1, 0, 0)
+        assert r.text_scrubbed == "<EMAIL> only"
+
+    def test_idempotent(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id int, text string")
+        once = text.with_pii_scrub(df).select(
+            "doc_id", F.col("text_scrubbed").alias("text")
+        )
+        twice = {
+            r.doc_id: (r.n_emails, r.n_ipv4, r.n_phones, r.text_scrubbed)
+            for r in text.with_pii_scrub(once).collect()
+        }
+        assert all(v[:3] == (0, 0, 0) for v in twice.values())
+        first = self._run(spark)
+        assert {k: v[3] for k, v in twice.items()} == {
+            k: v[3] for k, v in first.items()
+        }
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id int, text string")
+        plan = text.with_pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
