@@ -541,6 +541,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens"
         )
 
+    def q_events_props(spark, sf_dir):
+        # semi-structured metadata extraction (the events table's JSON
+        # props column): get_json_object is JVM-side and codegen'd, the
+        # typed cast + agg stay in one combiner-friendly exchange on the
+        # (low-cardinality) event_type key — the standard shape for
+        # "parse the JSON sidecar and roll it up" at 100 TB. Missing
+        # keys surface as NULLs and are counted, not dropped.
+        ev = _t(spark, sf_dir, "events")
+        k = F.get_json_object(F.col("props"), "$.k").cast("long")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("k_nulls"),
+        )
+
     def q_pii_scrub(spark, sf_dir):
         return text.with_pii_scrub(_t(spark, sf_dir, "documents")).select(
             "doc_id", "n_emails", "n_ipv4", "n_phones", "text_scrubbed"
@@ -1346,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_vocab": q_vocab,
         "q_pii_scrub": q_pii_scrub,
+        "q_events_props": q_events_props,
         "q_bpe_tokens": q_bpe_tokens,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
@@ -2360,6 +2378,16 @@ SELECT doc_id,
        CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
          AS n_distinct_tokens
 FROM documents
+""",
+        "q_events_props": r"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls
+FROM events
+GROUP BY event_type
 """,
         "q_pii_scrub": r"""
 WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t0 FROM documents),

@@ -294,3 +294,48 @@ class TestStreamingAnnotate:
 
         with pytest.raises(FileNotFoundError):
             load_latest_state(spark, str(tmp_path / "nostate"))
+
+
+class TestEventsProps:
+    """JSON sidecar extraction (q_events_props): get_json_object's
+    NULL contract — missing key, malformed JSON, and NULL props must
+    all surface as NULL (counted by k_nulls), never as errors or
+    dropped rows."""
+
+    def test_json_extraction_null_contract(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "a", '{"k": 5}'),
+            (2, "a", '{"k": 7, "x": 1}'),
+            (3, "a", "{}"),           # missing key
+            (4, "b", "not json"),     # malformed
+            (5, "b", None),           # null props
+            (6, "b", '{"k": -3}'),
+        ]
+        ev = spark.createDataFrame(rows, "event_id int, event_type string, props string")
+        k = F.get_json_object(F.col("props"), "$.k").cast("long")
+        got = {
+            r.event_type: (r.n, r.k_sum, r.k_min, r.k_max, r.k_nulls)
+            for r in ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(k).alias("k_sum"),
+                F.min(k).alias("k_min"),
+                F.max(k).alias("k_max"),
+                F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("k_nulls"),
+            ).collect()
+        }
+        assert got == {"a": (3, 12, 5, 7, 1), "b": (3, -3, -3, -3, 2)}
+
+    def test_matches_entry_query_on_testdata(self, spark):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as E
+
+        out = E.queries()["q_events_props"](spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        assert rows and all(r.n >= r.k_nulls >= 0 for r in rows)
+        assert all(
+            (r.k_min is None) == (r.n == r.k_nulls) for r in rows
+        )
