@@ -289,6 +289,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from geococo_spark.operators import cells, dedup, grid, ids, sampling
+    from geococo_spark.operators import events as ev_ops
     from geococo_spark.operators import similarity as sim
     from geococo_spark.operators import text
     from geococo_spark.operators.grid import WindowSchemaSpec
@@ -540,6 +541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.with_token_stats(_t(spark, sf_dir, "documents")).select(
             "doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens"
         )
+
+    def q_sessionize(spark, sf_dir):
+        # gap-based sessions: one exchange on user_id feeds both
+        # analytic windows, then a combiner-friendly per-session agg
+        return ev_ops.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
     def q_events_props(spark, sf_dir):
         # semi-structured metadata extraction (the events table's JSON
@@ -1364,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab": q_vocab,
         "q_pii_scrub": q_pii_scrub,
         "q_events_props": q_events_props,
+        "q_sessionize": q_sessionize,
         "q_bpe_tokens": q_bpe_tokens,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
@@ -2378,6 +2385,27 @@ SELECT doc_id,
        CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
          AS n_distinct_tokens
 FROM documents
+""",
+        "q_sessionize": r"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM s
+GROUP BY user_id, session_idx
 """,
         "q_events_props": r"""
 SELECT event_type,

@@ -1,0 +1,63 @@
+"""Event-log operators (the analytics side of a training-data
+pipeline's telemetry tables): gap-based sessionization.
+
+Reference parity note: the reference engine has no event-log surface;
+this module is part of the driver brief's "operations a large-scale
+training-data pipeline would need" axis, like operators/dedup.py and
+operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one user belong
+    to the same session while the inter-event gap stays <=
+    ``gap_minutes``; a larger gap (or the user's first event) opens a
+    new session. Returns one row per session: ``(user_col,
+    session_idx, n_events, session_start, session_end)`` with
+    ``session_idx`` numbering a user's sessions from 1 in time order.
+
+    Scale shape: ONE exchange on ``user_col`` feeds both analytic
+    windows (lag for the gap test, running sum for the session index —
+    identical partitioning + ordering, Spark plans a single Window
+    node), then a combiner-friendly groupBy on (user, session_idx).
+    Nothing global: state per task is one user's sorted slice, so the
+    plan survives any corpus size whose single heaviest user fits a
+    task — the same per-key boundedness argument as the salted spatial
+    join's, and the skew cap there applies if a bot user ever breaks
+    it. Gap arithmetic is timestamp SUBTRACTION vs an interval literal
+    — timezone-free (works on TIMESTAMP_NTZ, which is what parquet
+    timestamps scan as) and exact to the microsecond, matching the
+    DuckDB oracle's epoch_us math; second-truncating unix casts would
+    not. Ordering is total via ``order_tiebreak``, so session
+    boundaries are deterministic under timestamp ties.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    gap = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > F.expr(f"INTERVAL '{int(gap_minutes)}' MINUTE")), 1
+    ).otherwise(0)
+    session_idx = (
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    return (
+        events.withColumn("session_idx", session_idx)
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )

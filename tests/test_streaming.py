@@ -339,3 +339,80 @@ class TestEventsProps:
         assert all(
             (r.k_min is None) == (r.n == r.k_nulls) for r in rows
         )
+
+
+class TestSessionize:
+    def _ev(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        data = [
+            (eid, uid, base + timedelta(minutes=m))
+            for eid, (uid, m) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, "event_id long, user_id long, ts timestamp_ntz"
+        )
+
+    def test_known_boundaries(self, spark):
+        from geococo_spark.operators import events as ev_ops
+
+        # user 1: gaps 10, 29, 31 -> sessions {0,10,39}, {70}
+        # user 2: single event; gap EXACTLY 30 min stays in-session
+        rows = [(1, 0), (1, 10), (1, 39), (1, 70), (2, 5), (2, 35)]
+        got = {
+            (r.user_id, r.session_idx): r.n_events
+            for r in ev_ops.sessionize(self._ev(spark, rows)).collect()
+        }
+        assert got == {(1, 1): 3, (1, 2): 1, (2, 1): 2}
+
+    def test_matches_python_reference_random(self, spark):
+        import random
+
+        from geococo_spark.operators import events as ev_ops
+
+        rng = random.Random(20260818)
+        rows, t = [], {}
+        for _ in range(400):
+            u = rng.randint(1, 8)
+            t[u] = t.get(u, 0) + rng.choice([1, 5, 29, 30, 31, 90])
+            rows.append((u, t[u]))
+        ref = {}
+        per_user: dict = {}
+        for u, m in sorted(set(rows), key=lambda x: (x[0], x[1])):
+            sessions = per_user.setdefault(u, [])
+            if not sessions or m - sessions[-1][-1] > 30:
+                sessions.append([m])
+            else:
+                sessions[-1].append(m)
+        for u, sessions in per_user.items():
+            for i, s in enumerate(sessions, 1):
+                ref[(u, i)] = len(s)
+        got = {
+            (r.user_id, r.session_idx): r.n_events
+            for r in ev_ops.sessionize(self._ev(spark, list(dict.fromkeys(rows)))).collect()
+        }
+        assert got == ref
+
+    def test_single_window_exchange(self, spark):
+        """Scale-shape pin: both analytic windows (lag + running sum)
+        must share ONE Window node / one user_id exchange; the final
+        agg adds one more. No global (unpartitioned) window anywhere."""
+        from geococo_spark.operators import events as ev_ops
+
+        df = ev_ops.sessionize(self._ev(spark, [(1, 0), (1, 5), (2, 3)]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # every window spec must be partitioned by user_id (no global
+        # window = no single-task sort of the whole corpus)
+        specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+        assert specs and all(s == "user_id" for s in specs), specs
+        # the two Window nodes (lag feeds the running sum, so Spark
+        # cannot fuse them into one node) must SHARE one exchange+sort:
+        # no Exchange or Sort may sit between them
+        lines = plan.splitlines()
+        widx = [i for i, l in enumerate(lines) if "Window [" in l]
+        assert len(widx) == 2, plan[:2000]
+        between = "\n".join(lines[widx[0] + 1: widx[1]])
+        assert "Exchange" not in between and "Sort" not in between, between
