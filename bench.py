@@ -122,6 +122,7 @@ def main() -> None:
         "q_coco_multistars",
         "q_spatial_join_star",
         "q_events_window",
+        "q_sessionize",
     ]
     queries = entry_mod.queries()
     # warmup: JVM codegen + python worker pool, so the first headline
