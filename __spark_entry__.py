@@ -542,6 +542,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens"
         )
 
+    def q_quality_filter(spark, sf_dir):
+        # the quality FILTER (Gopher/C4-style keep/drop + audit
+        # bitmask): integer cross-multiplied cuts, one projection
+        return text.apply_quality_filters(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "fail_flags", "keep"
+        )
+
     def q_sessionize(spark, sf_dir):
         # gap-based sessions: one exchange on user_id feeds both
         # analytic windows, then a combiner-friendly per-session agg
@@ -1371,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_events_props": q_events_props,
         "q_sessionize": q_sessionize,
+        "q_quality_filter": q_quality_filter,
         "q_bpe_tokens": q_bpe_tokens,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
@@ -2385,6 +2393,48 @@ SELECT doc_id,
        CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
          AS n_distinct_tokens
 FROM documents
+""",
+        "q_quality_filter": r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         string_split_regex(trim(text), '\s+') AS t,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST((length(text) - length(replace(text, '.', '')))
+            + (length(text) - length(replace(text, ',', '')))
+            + (length(text) - length(replace(text, '!', '')))
+            + (length(text) - length(replace(text, '?', '')))
+            + (length(text) - length(replace(text, ';', '')))
+            + (length(text) - length(replace(text, ':', ''))) AS BIGINT) AS n_punct,
+         CAST(
+           (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' in ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4
+         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' it ', ''))) / 4
+         AS BIGINT) AS n_stopwords
+  FROM documents),
+g AS (
+  SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS g2
+  FROM base),
+f AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 10 OR n_tokens > 100000 THEN 1 ELSE 0 END
+       + CASE WHEN n_chars < 2.0 * n_tokens OR n_chars > 12.0 * n_tokens THEN 2 ELSE 0 END
+       + CASE WHEN n_stopwords * 50 < n_tokens THEN 4 ELSE 0 END
+       + CASE WHEN n_punct > 0.3 * n_chars THEN 8 ELSE 0 END
+       + CASE WHEN (len(g2) - len(list_distinct(g2))) > 0.2 * len(g2) THEN 16 ELSE 0 END
+         AS fail_flags
+  FROM g)
+SELECT doc_id, CAST(fail_flags AS BIGINT) AS fail_flags, fail_flags = 0 AS keep
+FROM f
 """,
         "q_sessionize": r"""
 WITH o AS (

@@ -174,6 +174,65 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def apply_quality_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_stopword_per_tokens: int = 50,
+    max_punct_per_chars: float = 0.3,
+    max_dup_2gram_frac: float = 0.2,
+) -> DataFrame:
+    """The quality FILTER itself (Gopher/C4-style): compose the cheap
+    signals into a keep/drop decision plus a per-rule failure bitmask
+    for audit ("why did 4% of the corpus drop?" is a groupBy on
+    ``fail_flags``, not a re-run). Rules (bit set = rule FAILED):
+
+      1  token count outside [min_tokens, max_tokens]
+      2  mean token length outside [min/max_mean_token_len]
+      4  too few stopwords (n_stopwords * min_stopword_per_tokens <
+         n_tokens — i.e. under 1 stopword per N tokens)
+      8  punctuation-heavy (n_punct > max_punct_per_chars * n_chars)
+      16 repetitive (duplicate-2-gram occurrences beyond first >
+         max_dup_2gram_frac of all 2-grams)
+
+    Decisions compare raw INTEGER counts cross-multiplied against the
+    thresholds (never the rounded ratio columns), so the cut is exact
+    and the DuckDB oracle reproduces it bit-for-bit; doubles appear
+    only as multipliers (IEEE-identical in both engines). One
+    projection over :func:`with_quality`'s columns plus an inline
+    2-gram distinct count — no shuffle, no Python.
+
+    Adds ``fail_flags`` (long bitmask) and ``keep`` (boolean).
+    """
+    out = with_quality(df, text_col)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    g2 = _word_ngrams(toks, 2)
+    g2_total = F.size(g2).cast("long")
+    g2_dup = g2_total - F.size(F.array_distinct(g2)).cast("long")
+    n_tok = F.col("n_tokens")
+    n_chr = F.col("n_chars_m")
+    f_len = (n_tok < min_tokens) | (n_tok > max_tokens)
+    f_mean = (n_chr < F.lit(min_mean_token_len) * n_tok) | (
+        n_chr > F.lit(max_mean_token_len) * n_tok
+    )
+    f_stop = F.col("n_stopwords") * min_stopword_per_tokens < n_tok
+    f_punct = F.col("n_punct") > F.lit(max_punct_per_chars) * n_chr
+    f_rep = g2_dup > F.lit(max_dup_2gram_frac) * g2_total
+    flags = (
+        F.when(f_len, 1).otherwise(0)
+        + F.when(f_mean, 2).otherwise(0)
+        + F.when(f_stop, 4).otherwise(0)
+        + F.when(f_punct, 8).otherwise(0)
+        + F.when(f_rep, 16).otherwise(0)
+    ).cast("long")
+    return out.withColumn("fail_flags", flags).withColumn(
+        "keep", F.col("fail_flags") == 0
+    )
+
+
 # PII patterns kept to the regex subset with identical semantics in
 # Java regex (Spark, JVM-side) and RE2 (DuckDB oracle): char classes,
 # bounded repetition, \b ASCII word boundary — no lookaround/backrefs

@@ -1198,3 +1198,82 @@ class TestPiiScrub:
         df = spark.createDataFrame(self.ROWS, "doc_id int, text string")
         plan = text.with_pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:1500]
+
+
+class TestQualityFilter:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {
+            r.doc_id: (r.fail_flags, r.keep)
+            for r in text.apply_quality_filters(df, **kw).collect()
+        }
+
+    def test_each_rule_fires_alone(self, spark):
+        good = "the cat and the dog sat in a big house of wood it is fine"
+        rows = [
+            (0, good),                                    # passes everything
+            (1, "the cat and dog"),                       # too few tokens (1)
+            (2, "a b c d e f g h i j k l m n o p q r s a a"),  # mean len < 2 (2)
+            (3, "zebra quagga wombat " * 5 + "numbat dingo"),  # no stopwords (4)
+            (4, good + " " + ".,!?;:" * 12),              # punct-heavy (8)
+            (5, "the cat and " + "big dog " * 20 + "it is of a to in nice"),  # repetitive (16)
+        ]
+        got = self._run(spark, rows)
+        assert got[0] == (0, True)
+        assert got[1][0] & 1 and not got[1][1]
+        assert got[2][0] & 2 and not got[2][1]
+        assert got[3][0] & 4 and not got[3][1]
+        assert got[4][0] & 8 and not got[4][1]
+        assert got[5][0] & 16 and not got[5][1]
+
+    def test_boundaries_are_inclusive(self, spark):
+        # exactly min_tokens tokens with exactly 1-per-50 stopwords and
+        # mean length exactly at the bounds must KEEP (rules use strict
+        # inequalities against the thresholds)
+        ten = "the bb ccc dddd ee fff gggg hh iii jj"  # 10 tokens incl stopword
+        got = self._run(spark, [(1, ten)], min_tokens=10)
+        assert got[1][1], got
+        # one token below the bound drops
+        nine = "the bb ccc dddd ee fff gggg hh iii"
+        got = self._run(spark, [(1, nine)], min_tokens=10)
+        assert got[1] == (1, False)
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        rng = random.Random(99)
+        vocab = ["the", "and", "cat", "dog", "tree", "x!", "qq", "abcdefghijk"]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+            for d in range(80)
+        ]
+        got = self._run(spark, rows)
+
+        def ref(t):
+            toks = t.strip().split() if t.strip() else [""]
+            # mirror with_token_stats: split of "" yields one empty token
+            toks = t.strip().split() or [""]
+            n_tok, n_chr = len(toks), len(t)
+            punct = sum(t.count(c) for c in ".,!?;:")
+            stop = sum((" %s " % t2).count(" %s " % w)
+                       for t2 in [t] for w in text.EN_STOPWORDS)
+            g2 = [" ".join(toks[i:i+2]) for i in range(len(toks)-1)] if len(toks) >= 2 else []
+            dup = len(g2) - len(set(g2))
+            f = 0
+            f |= 1 if (n_tok < 10 or n_tok > 100000) else 0
+            f |= 2 if (n_chr < 2.0*n_tok or n_chr > 12.0*n_tok) else 0
+            f |= 4 if stop*50 < n_tok else 0
+            f |= 8 if punct > 0.3*n_chr else 0
+            f |= 16 if dup > 0.2*len(g2) else 0
+            return (f, f == 0)
+
+        for d, t in rows:
+            assert got[d] == ref(t), (d, t, got[d], ref(t))
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.createDataFrame([(1, "the cat")], "doc_id int, text string")
+        plan = (
+            text.apply_quality_filters(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan[:1500]
