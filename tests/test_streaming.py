@@ -416,3 +416,49 @@ class TestSessionize:
         assert len(widx) == 2, plan[:2000]
         between = "\n".join(lines[widx[0] + 1: widx[1]])
         assert "Exchange" not in between and "Sort" not in between, between
+
+    def test_agrees_with_spark_session_window_builtin(self, spark):
+        """Cross-validation against an INDEPENDENT implementation:
+        Spark's built-in session_window (gap-based dynamic windows)
+        must produce the same (user, start, end, n_events) sessions as
+        our lag+running-sum composition on the real events table.
+        session_window's end is exclusive (last_ts + gap), so compare
+        on min/max event time via the agg, not the window bounds."""
+        from pyspark.sql import functions as F
+
+        from geococo_spark.operators import events as ev_ops
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ours = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in ev_ops.sessionize(ev, gap_minutes=30).collect()
+        }
+        builtin = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in ev.groupBy(
+                "user_id", F.session_window("ts", "30 minutes")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect()
+        }
+        assert ours == builtin
+
+    def test_skewed_user_stays_bounded_and_correct(self, spark):
+        """Per-key boundedness smoke: one bot user with 20k events (in
+        one sorted task slice) plus normal users — counts must be exact
+        and the job must not need a global window."""
+        from geococo_spark.operators import events as ev_ops
+
+        rows = [(1, m) for m in range(0, 20000)]  # 1-min gaps: 1 session
+        rows += [(2, m * 60) for m in range(10)]  # 60-min gaps: 10 sessions
+        got = {
+            (r.user_id, r.session_idx): r.n_events
+            for r in ev_ops.sessionize(self._ev(spark, rows)).collect()
+        }
+        assert got[(1, 1)] == 20000 and sum(1 for (u, _) in got if u == 1) == 1
+        assert sum(1 for (u, _) in got if u == 2) == 10

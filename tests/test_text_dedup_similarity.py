@@ -1277,3 +1277,35 @@ class TestQualityFilter:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, plan[:1500]
+
+
+class TestPartitionInvarianceMore:
+    """Layout-blindness for the remaining content-addressed candidate
+    generators (see TestPartitionInvariance for the rationale)."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+    @staticmethod
+    def _snap(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    def test_ngram_jaccard_partition_invariant(self, spark):
+        base = None
+        d = self._docs(spark)
+        for layout in [d.coalesce(1), d.repartition(13)]:
+            got = self._snap(dedup.ngram_jaccard_pairs(layout, threshold=0.3))
+            base = got if base is None else base
+            assert got == base
+
+    def test_decontaminate_partition_invariant(self, spark):
+        d = self._docs(spark)
+        bench = d.limit(20)
+        base = None
+        for layout in [d.coalesce(1), d.repartition(13)]:
+            got = self._snap(dedup.decontaminate(layout, bench))
+            base = got if base is None else base
+            assert got == base
