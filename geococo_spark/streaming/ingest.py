@@ -75,3 +75,41 @@ def windowed_event_counts(
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
+
+
+def sessionized_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (dynamic gap windows) —
+    the streaming face of ``operators.events.sessionize``. Works on
+    both a streaming and a batch events DataFrame; in batch the
+    watermark is skipped and the output equals the batch operator's
+    sessions on (user, start, end, n_events) — pinned by test against
+    BOTH the batch sessionize and a streamed drain.
+
+    Streaming semantics: state per (user, open session) only; a session
+    finalizes (append mode emits it) once the watermark passes its end
+    + gap. At 100 TB-scale event volumes this is the shape that holds:
+    no global window, state bounded by concurrently-open sessions, late
+    events inside the watermark merge into their session instead of
+    fragmenting it.
+    """
+    from pyspark.sql import functions as F
+
+    if events.isStreaming:
+        if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+            events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(user_col, F.session_window(ts_col, gap))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events")
+    )

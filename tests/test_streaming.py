@@ -462,3 +462,60 @@ class TestSessionize:
         }
         assert got[(1, 1)] == 20000 and sum(1 for (u, _) in got if u == 1) == 1
         assert sum(1 for (u, _) in got if u == 2) == 10
+
+
+class TestStreamingSessionize:
+    def test_batch_and_stream_same_sessions(self, spark, tmp_path):
+        """Batch sessionize == streamed session_window drain. Append
+        mode only emits sessions the watermark has passed, so the input
+        gets one SENTINEL event per stream far past every real event —
+        it advances the global watermark and flushes all real sessions;
+        the sentinel user's own (still-open) session is excluded from
+        the comparison."""
+        from pyspark.sql import functions as F
+
+        from geococo_spark.operators import events as ev_ops
+        from geococo_spark.streaming import ingest
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        batch = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in ev_ops.sessionize(events, gap_minutes=30).collect()
+        }
+        # batch-mode sessionized_events must agree with the operator
+        batch_sw = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in ingest.sessionized_events(events).collect()
+        }
+        assert batch_sw == batch
+
+        # keep the original column ORDER (parquet schema positional)
+        cols = events.columns
+        staged = events.select(*cols).unionByName(
+            events.agg(
+                F.lit(-1).cast("long").alias("event_id"),
+                (F.max("ts") + F.expr("INTERVAL '365' DAY")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            ).select(*cols)
+        )
+        staged.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+        stream = spark.readStream.schema(staged.schema).parquet(str(tmp_path / "ev"))
+        q = (
+            ingest.sessionized_events(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.sql("select * from sess_out").collect()
+            if r.user_id != -1
+        }
+        assert streamed == batch
