@@ -1309,3 +1309,28 @@ class TestPartitionInvarianceMore:
             got = self._snap(dedup.decontaminate(layout, bench))
             base = got if base is None else base
             assert got == base
+
+
+class TestVocabStatsRandom:
+    def test_random_corpus_matches_counter(self, spark):
+        import random
+        from collections import Counter
+
+        rng = random.Random(20260819)
+        vocab = ["The", "the", "a", "B", "b", "cc", "ddd", ""]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+            for d in range(120)
+        ]
+        tf, dfc = Counter(), Counter()
+        for _, t in rows:
+            toks = [w for w in t.lower().split() if w]
+            tf.update(toks)
+            dfc.update(set(toks))
+        got = {
+            r.term: (r.term_freq, r.doc_freq)
+            for r in text.vocab_stats(
+                spark.createDataFrame(rows, "doc_id int, text string"), top_k=None
+            ).collect()
+        }
+        assert got == {w: (tf[w], dfc[w]) for w in tf}
