@@ -76,6 +76,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _star_wkb_batch(px, py, s, t):
+    """Vectorized WKB for the 8-vertex star fixtures (round 8): one
+    (n, 9, 2) numpy coordinate block + one constant-header byte matrix
+    instead of a per-label Python loop building lists and packing rings
+    (~60 us/label -> ~0.5 us/label; the loop was the dominant cost of
+    the star-fixture queries at sf1.0's 150k labels). Arithmetic is the
+    same per-element ``center + s * {±1, ±t, 0}`` IEEE ops the loop
+    performed, so every double — and therefore every WKB byte — is
+    identical. ``t`` may be a scalar (fixed-concavity stars) or a
+    per-label array (hash-star fixtures)."""
+    import struct as _struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    n = len(px)
+    t_arr = np.broadcast_to(np.asarray(t, dtype=np.float64), (n,))
+    zeros = np.zeros(n)
+    ones = np.ones(n)
+    dxs = np.stack([ones, t_arr, zeros, -t_arr, -ones, -t_arr, zeros, t_arr, ones], axis=1)
+    dys = np.stack([zeros, t_arr, ones, t_arr, zeros, -t_arr, -ones, -t_arr, zeros], axis=1)
+    coords = np.empty((n, 9, 2), dtype="<f8")
+    coords[:, :, 0] = px[:, None] + s[:, None] * dxs
+    coords[:, :, 1] = py[:, None] + s[:, None] * dys
+    # WKB: byte order (1) + type Polygon (3) + n_rings (1) + n_points (9)
+    header = np.frombuffer(_struct.pack("<BIII", 1, 3, 1, 9), dtype=np.uint8)
+    buf = np.empty((n, 13 + 144), dtype=np.uint8)
+    buf[:, :13] = header
+    buf[:, 13:] = coords.view(np.uint8).reshape(n, 144)
+    return [row.tobytes() for row in buf]
+
+
 def _labels_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label bboxes synthesized from customer keys (pure int arithmetic)."""
     return _t(spark, sf_dir, "customer").selectExpr(
@@ -106,26 +140,15 @@ def _hash_star_labels(
     + WKB geometry). The WKB vertices are ``center + s * {±1, ±t, 0}`` —
     the same single-multiply-single-add the oracle SQL performs, so both
     engines see bit-identical doubles."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    from geococo_spark.geometry import wkb as WKB
-
     @pandas_udf(BinaryType())
     def _star_wkb_t(px, py, s, t):
-        out = []
-        for x, y, sc, tt in zip(px, py, s, t):
-            dxs = (1.0, tt, 0.0, -tt, -1.0, -tt, 0.0, tt)
-            dys = (0.0, tt, 1.0, tt, 0.0, -tt, -1.0, -tt)
-            ring = np.array(
-                [[x + sc * dx, y + sc * dy] for dx, dy in zip(dxs, dys)]
-                + [[x + sc * dxs[0], y + sc * dys[0]]],
-                dtype=np.float64,
-            )
-            out.append(WKB.encode_polygon([ring]))
-        return pd.Series(out)
+        # vectorized ring construction + WKB framing (bit-identical to
+        # the old per-label encode_polygon loop — see _star_wkb_batch)
+        return pd.Series(_star_wkb_batch(px, py, s, t))
 
     e = _hashstar_exprs(salt, extent_cells, _hash60_spark)
     return (
@@ -774,28 +797,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-identical doubles and the oracle SQL ports the predicate
         # formula literally (same divisions, same strict/loose
         # comparisons).
-        import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import BinaryType
 
-        from geococo_spark.geometry import wkb as WKB
         from geococo_spark.operators import spatial_join
-
-        dxs = [1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35]
-        dys = [0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35]
 
         @pandas_udf(BinaryType())
         def _star_wkb(px, py, s):
-            out = []
-            for x, y, sc in zip(px, py, s):
-                ring = np.array(
-                    [[x + sc * dx, y + sc * dy] for dx, dy in zip(dxs, dys)]
-                    + [[x + sc * dxs[0], y + sc * dys[0]]],
-                    dtype=np.float64,
-                )
-                out.append(WKB.encode_polygon([ring]))
-            return pd.Series(out)
+            # vectorized t=0.35 star WKB (bit-identical bytes — round 8)
+            return pd.Series(_star_wkb_batch(px, py, s, 0.35))
 
         labels = (
             _t(spark, sf_dir, "customer")
@@ -906,28 +917,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # level's candidates by the exact unrounded polygon-to-box
         # distance with (distance, tile_id) ties — exactly the per-pass
         # semantics, since each pass runs only on the remainder.
-        import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import BinaryType
 
-        from geococo_spark.geometry import wkb as WKB
         from geococo_spark.operators import knn
-
-        dxs = [1.0, 0.35, 0.0, -0.35, -1.0, -0.35, 0.0, 0.35]
-        dys = [0.0, 0.35, 1.0, 0.35, 0.0, -0.35, -1.0, -0.35]
 
         @pandas_udf(BinaryType())
         def _star_wkb(px, py, s):
-            out = []
-            for x, y, sc in zip(px, py, s):
-                ring = np.array(
-                    [[x + sc * dx, y + sc * dy] for dx, dy in zip(dxs, dys)]
-                    + [[x + sc * dxs[0], y + sc * dys[0]]],
-                    dtype=np.float64,
-                )
-                out.append(WKB.encode_polygon([ring]))
-            return pd.Series(out)
+            # vectorized t=0.35 star WKB (bit-identical bytes — round 8)
+            return pd.Series(_star_wkb_batch(px, py, s, 0.35))
 
         labels = (
             _t(spark, sf_dir, "customer")

@@ -113,32 +113,40 @@ def dedup_spans(
     chunk order with single-space joins (a fully-deduplicated document
     comes back as ``''``, not NULL). NULL text is treated as ``''``.
 
-    Scale shape (everything is built-in JVM expressions — no UDF):
+    Scale shape (round 8, guide §8 "decide with small rows, move big
+    rows once" — previously the chunk STRINGS crossed two exchanges;
+    now the document text never leaves its input row at all):
 
-    - chunking is a per-row ``transform(sequence(...))`` + one explode:
-      ~n_tokens/k output rows per document, no shuffle;
-    - span stats are ONE groupBy on ``md5(chunk)`` — uniform hash key,
+    - chunking + hashing is per-row ``transform``/``posexplode`` over
+      ``md5(chunk)`` values: the exploded decision table carries only
+      ``(doc_id, chunk_idx, md5)`` — ~45 bytes/chunk regardless of
+      span length;
+    - span stats are ONE groupBy on the md5 — uniform hash key,
       map-side partial aggregation, so a span duplicated 10^8 times
-      costs one (count, min) buffer per map task, not a hot reducer;
-    - the stats join back onto chunk rows on the same md5 key is 1:N
-      (stats side has exactly one row per distinct span); AQE handles
-      frequency skew on the N side since no row explosion is possible;
-    - reassembly is ONE groupBy on the document id, collecting
-      ``(chunk_idx, chunk, kept)`` structs and filtering/joining inside
-      the aggregate — per-group memory is bounded by the document size,
-      the same bound the input row already paid.
+      costs one (count, min) buffer per map task, not a hot reducer —
+      filtered to the DUPLICATED spans only;
+    - removals = hash rows joined against that (typically tiny)
+      duplicated-span dictionary on the same key, keeping every
+      non-canonical occurrence: ``(doc_id, chunk_idx)`` pairs;
+    - reassembly is a per-doc join of the (small — only docs that lose
+      chunks appear) removal lists back onto the ORIGINAL rows, where a
+      JVM ``array_except``/``slice``/``flatten`` projection rebuilds
+      ``clean_text`` in place. AQE sees the runtime size of the removal
+      side and broadcasts it when it fits, in which case the corpus is
+      never shuffled; per-doc compute is O(n_chunks + n_removed) via
+      the hash-set-backed ``array_except``.
 
-    Total: three shuffles over chunk rows (stats agg, stats join,
-    reassembly), each keyed, each combinable or 1:N — no window over a
-    skewable key, no self-join, no all-pairs anywhere.
+    Total: two shuffles over thin hash rows + one tiny removal-list agg
+    + one (usually broadcast) reassembly join — the chunk text itself
+    crosses ZERO exchanges (the r7 shape shuffled it twice; measured
+    ~2.4x on the sf1.0 driver bench). No window over a skewable key, no
+    self-join, no all-pairs anywhere.
 
-    ``persist_chunks`` (default True) caches the chunk table, which
+    ``persist_chunks`` (default True) caches the hash table, which
     otherwise computes twice — it feeds both the stats aggregate and
-    the flag join, whose exchanges differ (partial-agg vs raw rows), so
-    ReusedExchange never fires. Measured 1.49x at sf0.1/local[32]
-    (tools/ab_span_persist_r7.py, outputs identical). At cluster scale
-    the cache is the full chunk set (~corpus size, MEMORY_AND_DISK):
-    disable when executor storage is tighter than the re-chunk CPU.
+    the removal join, whose exchanges differ (partial-agg vs raw rows),
+    so ReusedExchange never fires. The pinned rows are the thin
+    (id, idx, md5) triples — chunk strings are never cached.
 
     Canonical-occurrence keys pack ``(doc_id, chunk_idx)`` into one
     int64 (``doc_id * 2^32 + chunk_idx``) so ``min()`` stays a primitive
@@ -153,42 +161,53 @@ def dedup_spans(
     """
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_idx"),
-            F.array_join(F.slice(toks, i * k + 1, k), " ").alias("chunk"),
-        ),
+
+    def chunk_at(i):
+        return F.array_join(F.slice(toks, i * k + 1, k), " ")
+
+    # decision table: (doc_id, chunk_idx, md5) — the chunk text is hashed
+    # in the same projection and immediately dropped
+    ch = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: F.md5(chunk_at(i)))
+        ).alias("chunk_idx", "__sd_h"),
+    ).withColumn(
+        "__sd_key",
+        F.col(id_col).cast("long") * F.lit(1 << 32).cast("long")
+        + F.col("chunk_idx").cast("long"),
     )
-    ch = docs.select(F.col(id_col), F.explode(chunk_structs).alias("c")).select(
-        id_col,
-        F.col("c.chunk_idx").alias("chunk_idx"),
-        F.col("c.chunk").alias("chunk"),
-    )
-    occ_key = F.col(id_col).cast("long") * F.lit(1 << 32).cast("long") + F.col(
-        "chunk_idx"
-    )
-    ch = ch.withColumn("__sd_key", occ_key).withColumn("__sd_h", F.md5("chunk"))
     if persist_chunks:
-        # the chunk table feeds both the stats agg and the join side and
-        # the two exchanges differ (partial-agg vs raw), so the
-        # string-heavy chunking otherwise computes twice
+        # the hash table feeds both the stats agg and the removal join
+        # and the two exchanges differ (partial-agg vs raw), so the
+        # string-heavy chunk hashing otherwise computes twice
         ch = ch.persist()
-    stats = ch.groupBy("__sd_h").agg(
-        F.count(F.lit(1)).alias("__sd_n"), F.min("__sd_key").alias("__sd_min")
+    dup_spans = (
+        ch.groupBy("__sd_h")
+        .agg(F.count(F.lit(1)).alias("__sd_n"), F.min("__sd_key").alias("__sd_min"))
+        .filter(F.col("__sd_n") >= min_count)
     )
-    flagged = ch.join(stats, "__sd_h").withColumn(
-        "kept",
-        (F.col("__sd_n") < min_count) | (F.col("__sd_key") == F.col("__sd_min")),
+    removals = (
+        ch.join(dup_spans, "__sd_h")
+        .filter(F.col("__sd_key") != F.col("__sd_min"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("__sd_rem"))
     )
-    arr = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk", "kept")))
-    kept_chunks = F.transform(
-        F.filter(arr, lambda x: x["kept"]), lambda x: x["chunk"]
+    rem = F.coalesce(F.col("__sd_rem"), F.array().cast("array<int>"))
+    kept_idx = F.array_except(F.sequence(F.lit(0), n_chunks - 1), rem)
+    clean_text = F.array_join(
+        F.flatten(F.transform(kept_idx, lambda i: F.slice(toks, i * k + 1, k))), " "
     )
-    return flagged.groupBy(id_col).agg(
-        F.array_join(kept_chunks, " ").alias("clean_text"),
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum((~F.col("kept")).cast("long")).alias("n_chunks_removed"),
+    return docs.join(removals, id_col, "left").select(
+        F.col(id_col),
+        clean_text.alias("clean_text"),
+        n_chunks.cast("long").alias("n_chunks"),
+        # size(NULL) is -1 under the legacy conf, so branch on the null
+        # explicitly instead of coalescing the size
+        F.when(F.col("__sd_rem").isNull(), F.lit(0))
+        .otherwise(F.size("__sd_rem"))
+        .cast("long")
+        .alias("n_chunks_removed"),
     )
 
 

@@ -53,7 +53,12 @@ def sessionize(
         .cast("long")
     )
     return (
-        events.withColumn("session_idx", session_idx)
+        # project BEFORE the window exchange (guide §2.3): only the three
+        # columns the windows/agg touch ride the user_id shuffle + sort —
+        # payload columns (JSON props, event_type, value) would otherwise
+        # multiply the exchange bytes for nothing
+        events.select(user_col, ts_col, order_tiebreak)
+        .withColumn("session_idx", session_idx)
         .groupBy(user_col, "session_idx")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),

@@ -298,6 +298,12 @@ def vocab_stats(
     like "the" enters the second shuffle as at most one row per
     document, never one per occurrence), then groupBy (term) summing
     counts. No count(DISTINCT) expand, no window over the full corpus.
+    (Round 8 measured the tempting one-exchange alternative — per-doc
+    run-length counts over a sorted token array via higher-order
+    functions, then a single groupBy(term) — at 2.8x SLOWER at sf1.0:
+    Spark evaluates HOF lambdas interpreted, and the per-token
+    get/compare lambdas cost far more than the (term, doc) exchange
+    they saved. Negative result kept so it isn't retried.)
     ``top_k`` lands as TakeOrderedAndProject (per-partition top-k,
     driver merges k rows per partition — never a global sort of the
     vocabulary); the ordering (doc_freq desc, term_freq desc, term

@@ -550,11 +550,11 @@ class TestSimilarity:
             assert [r for r, _ in ranks] == [1, 2, 3, 4, 5]
 
     def test_neardup_shuffle_hash_attach_identical(self, spark, embs):
-        """Round 5: beyond the broadcast threshold the verify attach uses
-        a shuffle-hash join (no candidate-side sort). Values must be
+        """Round 5: beyond the broadcast threshold the attach verify mode
+        uses a shuffle-hash join (no candidate-side sort). Values must be
         identical to the broadcast path, and the plan must contain
         ShuffledHashJoin (not SortMergeJoin) for the attach."""
-        kw = dict(dim=64, threshold=0.8, n_planes=8, n_tables=6)
+        kw = dict(dim=64, threshold=0.8, n_planes=8, n_tables=6, verify_mode="attach")
         bc = similarity.embedding_near_duplicates(
             embs, broadcast_vectors_rows=200_000, **kw
         )
@@ -563,6 +563,56 @@ class TestSimilarity:
         plan = sh._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_neardup_bucket_verify_matches_attach(self, spark, embs):
+        """Round 8: the default per-bucket matmul verify must produce
+        exactly the rows (ids AND rounded cosines) of the round-7 attach
+        path, with and without the hot-bucket cap, and its plan must not
+        contain a candidate self-join (one grouped Arrow pass instead)."""
+        for cap in (None, 12):
+            kw = dict(
+                dim=64, threshold=0.6, n_planes=6, n_tables=6, max_bucket_size=cap
+            )
+            bucket = similarity.embedding_near_duplicates(
+                embs, verify_mode="bucket", **kw
+            )
+            attach = similarity.embedding_near_duplicates(
+                embs, verify_mode="attach", **kw
+            )
+            got_b = sorted(map(tuple, bucket.collect()))
+            got_a = sorted(map(tuple, attach.collect()))
+            assert got_b == got_a
+            assert len(got_b) > 0  # non-vacuous at threshold 0.6
+        plan = bucket._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+
+    def test_bucket_pair_dots_degenerate_and_margin(self):
+        """Unit pin of _bucket_pair_dots_fn edge cases: zero-norm vectors
+        (0/0 cosine) must SURVIVE the in-bucket filter (Spark's NaN
+        ordering puts NaN above any threshold, so the JVM filter — not
+        numpy — must decide them), near-threshold pairs within the margin
+        must survive, and the cap drops the whole bucket."""
+        import pandas as pd
+
+        fn = similarity._bucket_pair_dots_fn(0.95, None)
+        pdf = pd.DataFrame(
+            {
+                "vid": [1, 2, 3],
+                "qv": [[0, 0], [0, 0], [1000, 0]],
+            }
+        )
+        out = fn(pdf)
+        # (1,2): 0/0 -> NaN, kept; (1,3)/(2,3): 0/0? dot=0, na=0 -> NaN too
+        assert {(r.id_a, r.id_b) for r in out.itertuples()} == {(1, 2), (1, 3), (2, 3)}
+        capped = similarity._bucket_pair_dots_fn(0.95, 2)(pdf)
+        assert len(capped) == 0
+        pdf2 = pd.DataFrame({"vid": [9, 7], "qv": [[19, 13], [19, 0]]})
+        out2 = similarity._bucket_pair_dots_fn(0.0, None)(pdf2)
+        assert len(out2) == 1
+        r = out2.iloc[0]
+        # canonical order by id VALUE regardless of row order, exact dots
+        assert (r["id_a"], r["id_b"]) == (7, 9)
+        assert (r["pair_dot"], r["na"], r["nb"]) == (361, 361, 530)
 
     def test_qdot_batch_empty_arrow_batch(self):
         """ADVICE r04: np.vstack raises on a zero-row batch; the UDF body
