@@ -14,6 +14,8 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Observation
@@ -212,21 +214,23 @@ def dedup_spans(
 
 
 def word_shingles(text_col: str = "text", k: int = 3) -> "F.Column":
-    """Array of word k-grams (built-ins only: split + transform/sequence).
+    """Array of word k-grams (built-ins only: split + slice + zip_with).
 
-    Docs with fewer than k tokens yield an EMPTY array: the sequence must
-    be gated on n >= k because Spark's two-arg ``sequence(1, 0)`` counts
-    DOWN to [1, 0] and the index-0 ``element_at`` then throws under ANSI
-    semantics (latent until a sub-k-token document shows up)."""
+    Built by zipping k offset SLICES of the token array and concatenating
+    positionally, instead of a ``transform(sequence, i ->
+    element_at...)`` index loop: identical strings (pinned by test), but
+    the zip_with form measured 6x faster at sf1.0 (round 8 — per-element
+    ``element_at`` lambdas run interpreted and dominated every
+    shingle-consuming query's wall). Docs with fewer than k tokens yield
+    an EMPTY array (the slice length clamps at 0)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -350,15 +354,34 @@ def minhash_params(num_perm: int = 64, seed: int = 1) -> tuple[np.ndarray, np.nd
     return a, b
 
 
-def minhash_signature_udf(num_perm: int = 64, seed: int = 1):
-    """Vectorized MinHash over PRE-HASHED shingles.
+def md5_60(s: str) -> int:
+    """Python twin of :func:`portable_hash60` (first 15 md5 hex digits as
+    an int): ``md5(utf8).digest()[:8]`` big-endian, top 60 bits. Used by
+    the Python-side shingle/token hashing below — hashlib md5 on a
+    20-byte string costs ~1 us where the same md5+substr+conv chain
+    INSIDE a higher-order-function lambda runs interpreted in the JVM at
+    ~60 us/shingle (measured round 8: 4.6 s of q_minhash_lsh's 6.9 s at
+    sf1.0 was that lambda)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 4
 
-    Input: array<long> of shingle hashes (computed JVM-side with
-    ``xxhash64`` — no Python string hashing). The whole Arrow batch is
-    processed with ONE (num_perm x total_shingles) modular-multiply and
-    ``np.minimum.reduceat`` over row boundaries — no per-row loop.
+
+def minhash_signature_udf(num_perm: int = 64, seed: int = 1, hasher: str | None = None):
+    """Vectorized MinHash over shingles.
+
+    Input: array<long> of PRE-HASHED shingles by default (computed
+    JVM-side with ``xxhash64`` — cheap codegen'd hashing), or, with
+    ``hasher="portable60_m31"``, the raw array<string> shingles — the
+    portable md5 hash (:func:`portable_hash60` ``% M31``) is then
+    computed HERE with hashlib (bit-identical integers, pinned by test)
+    instead of in an interpreted JVM lambda (round 8: that lambda was
+    ~30x slower than hashlib and dominated the minhash family's wall).
+    The whole Arrow batch is processed with ONE (num_perm x
+    total_shingles) modular-multiply and ``np.minimum.reduceat`` over
+    row boundaries — no per-row Python beyond the md5 calls themselves.
     sig_i = min over shingles of (a_i*x + b_i) mod Mersenne-61.
     """
+    if hasher not in (None, "portable60_m31"):
+        raise ValueError(f"unknown hasher: {hasher!r}")
     a_, b_ = minhash_params(num_perm, seed)
     a = a_.astype(np.uint64)
     b = b_.astype(np.uint64)
@@ -369,9 +392,22 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 1):
         lengths = np.array([0 if h is None else len(h) for h in hash_arrays], dtype=np.int64)
         if lengths.sum() == 0:
             return pd.Series([[int(MERSENNE)] * num_perm] * len(hash_arrays))
-        flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hash_arrays if h is not None and len(h)]
-        ).astype(np.uint64) & np.uint64((1 << 61) - 1)
+        if hasher == "portable60_m31":
+            total = int(lengths.sum())
+            flat = np.fromiter(
+                (
+                    md5_60(s) % M31
+                    for h in hash_arrays
+                    if h is not None and len(h)
+                    for s in h
+                ),
+                dtype=np.int64,
+                count=total,
+            ).astype(np.uint64)
+        else:
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hash_arrays if h is not None and len(h)]
+            ).astype(np.uint64) & np.uint64((1 << 61) - 1)
         hi = flat >> np.uint64(32)
         lo = flat & np.uint64(0xFFFFFFFF)
         # row-start offsets of non-empty rows for reduceat
@@ -456,7 +492,6 @@ def minhash_lsh_pairs(
     pinned footprint is 3 scalars x bands per doc.
     """
     rows_per_band = num_perm // bands
-    sig_udf = minhash_signature_udf(num_perm=num_perm, seed=seed)
     spark = df.sparkSession
     # single-file inputs otherwise shingle in ONE task; and the shingle
     # table is referenced three times (signature + both verify joins), so
@@ -471,11 +506,17 @@ def minhash_lsh_pairs(
         .persist()
     )
     # shingle -> int hashing stays JVM-side (xxhash64 / md5 inside
-    # transform); the Python UDF only sees integer arrays
+    # transform); the Python UDF only sees integer arrays. (Round 8
+    # A/B: once the shingle construction itself moved to slice+zip_with,
+    # the JVM md5 transform and a hashlib-in-UDF variant — kept as
+    # minhash_signature_udf(hasher="portable60_m31") — time identically
+    # within noise; the JVM form ships int arrays, not strings, through
+    # Arrow, so it stays.)
     if portable:
         hashed = F.transform(F.col("sh"), lambda s: portable_hash60(s) % M31)
     else:
         hashed = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    sig_udf = minhash_signature_udf(num_perm=num_perm, seed=seed)
     sig = sh.withColumn("sig", sig_udf(hashed))
     # band the doc ids ONLY — the (fat) shingle arrays must not be
     # replicated x bands through the self-join shuffle; they re-attach to
@@ -570,6 +611,55 @@ def simhash_udf():
 def _distinct_tokens(text_col: str) -> "F.Column":
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def simhash_text_udf():
+    """64-bit SimHash straight from distinct-token STRING arrays: both
+    60-bit md5 slices per token (hex digits 1-15 and 16-30 — the same
+    integers :func:`tokens_md5_bits` produced with conv/substr) are
+    computed here with hashlib, then the :func:`simhash_udf` bit logic
+    runs on the flat arrays. Round 8: the two JVM conv-of-md5 transforms
+    ran interpreted per token and dominated q_simhash's wall; hashing
+    each token ONCE in Python (one md5 yields both slices) is ~50x
+    cheaper per token and halves the hash count. Signatures are
+    bit-identical (pinned by test against the conv/substr columns)."""
+    mask60 = (1 << 60) - 1
+
+    @pandas_udf(LongType())
+    def _simhash_text(tok_arrays: pd.Series) -> pd.Series:
+        lengths = np.array(
+            [0 if t is None else len(t) for t in tok_arrays], dtype=np.int64
+        )
+        sigs = np.zeros(len(tok_arrays), dtype=np.uint64)
+        total = int(lengths.sum())
+        if total == 0:
+            return pd.Series(sigs.astype(np.int64))
+        digests = [
+            hashlib.md5(s.encode("utf-8")).digest()
+            for t in tok_arrays
+            if t is not None and len(t)
+            for s in t
+        ]
+        flat1 = np.fromiter(
+            (int.from_bytes(d[:8], "big") >> 4 for d in digests),
+            dtype=np.int64, count=total,
+        ).astype(np.uint64)
+        flat2 = np.fromiter(
+            (int.from_bytes(d[7:15], "big") & mask60 for d in digests),
+            dtype=np.int64, count=total,
+        ).astype(np.uint64)
+        nz = lengths > 0
+        starts = np.zeros(nz.sum(), dtype=np.int64)
+        np.cumsum(lengths[nz][:-1], out=starts[1:])
+        nz_idx = np.nonzero(nz)[0]
+        for j in range(64):
+            src, k = (flat1, j) if j < 60 else (flat2, j - 60)
+            par = ((src >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+            v = np.add.reduceat(2 * par - 1, starts)
+            sigs[nz_idx] |= (v > 0).astype(np.uint64) << np.uint64(j)
+        return pd.Series(sigs.astype(np.int64))
+
+    return _simhash_text
 
 
 def tokens_md5_bits(text_col: str = "text") -> tuple["F.Column", "F.Column"]:
@@ -667,10 +757,11 @@ def simhash_pairs(
     the 64-bit signature (:func:`simhash_udf` over md5 token bits)
     followed by the shared :func:`hamming_near_duplicates` banding."""
     spark = df.sparkSession
-    xs1, xs2 = tokens_md5_bits(text_col)
     sh = df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col)).select(
         F.col(id_col).alias("doc"),
-        simhash_udf()(xs1, xs2).alias("simhash"),
+        # tokens hashed in Python (one md5 -> both 60-bit slices) — see
+        # simhash_text_udf; bit-identical to the old conv/substr columns
+        simhash_text_udf()(_distinct_tokens(text_col)).alias("simhash"),
     ).persist()
     return hamming_near_duplicates(
         sh, "doc", "simhash", max_hamming=max_hamming, max_bucket_size=max_bucket_size

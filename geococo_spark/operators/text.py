@@ -105,14 +105,20 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _word_ngrams(toks: Column, n: int) -> Column:
-    """Word n-grams as space-joined strings; empty array when the doc has
-    fewer than n tokens (the when() guard keeps sequence() ascending —
-    Spark's sequence(1, k) DESCENDS for k < 1)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    """Word n-grams as space-joined strings, built by zipping n offset
+    slices of the token array (round 8: identical strings to the old
+    ``transform(sequence, i -> element_at...)`` index loop — pinned by
+    the repetition/quality oracles — but the per-element interpreted
+    element_at lambdas measured ~6x slower than slice+zip_with at
+    sf1.0). Docs with fewer than n tokens yield an EMPTY array (the
+    slice length clamps at 0)."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return out
 
 
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
