@@ -208,6 +208,9 @@ def _bbox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_id="label_id",
         exact=False,
         geometry="label_id",  # unused in bbox-only mode
+        # the grid is a static 100-row relation while labels scale with
+        # sf — broadcast the side we KNOW is small (round 8)
+        broadcast_side="tiles",
     )
 
 
@@ -783,7 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         labels = _hash_star_labels(spark, sf_dir, salt="sjx", extent_cells=10)
         return spatial_join.spatial_join(
-            _tiles_grid(spark), labels, cell_size=100.0, label_id="label_id"
+            _tiles_grid(spark), labels, cell_size=100.0, label_id="label_id",
+            broadcast_side="tiles",
         ).select("tile_id", "label_id")
 
     def q_spatial_join_star(spark, sf_dir):
@@ -826,7 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         return spatial_join.spatial_join(
-            _tiles_grid(spark), labels, cell_size=100.0, label_id="label_id"
+            _tiles_grid(spark), labels, cell_size=100.0, label_id="label_id",
+            broadcast_side="tiles",
         ).select("tile_id", "label_id")
 
     def q_knn_star(spark, sf_dir):

@@ -233,6 +233,7 @@ def spatial_join(
     dedupe: bool = True,
     exact_mode: str | None = None,
     dedupe_mode: str | None = None,
+    broadcast_side: str = "labels",
 ) -> DataFrame:
     """Join tiles to intersecting labels.
 
@@ -252,6 +253,15 @@ def spatial_join(
         False when the caller re-attaches geometry from the labels table
         (pipeline does): the WKB then never rides the dedupe shuffle —
         pair rows shrink ~10x on dense-label workloads
+    :param broadcast_side: which side the caller KNOWS is small (round
+        8, guide §8 "use what you know that the optimizer does not").
+        ``"labels"`` (default — the pipeline shape: tiles ≫ labels)
+        keeps the existing broadcast/salted selection on the label
+        side; ``"tiles"`` broadcasts the tile-cell side instead and
+        streams the labels, for callers joining a huge label table
+        against a small static grid — the label side then never
+        collects to the driver or shuffles at all. Join output rows are
+        identical either way.
     :return: one row per intersecting (tile, label) pair, with all tile
         and label columns
     """
@@ -285,6 +295,16 @@ def spatial_join(
         tiles, cell_size, "tile_minx", "tile_miny", "tile_maxx", "tile_maxy"
     )
 
+    if broadcast_side == "tiles":
+        joined = lbl_cells.join(F.broadcast(tile_cells), "cell", "inner")
+        joined = joined.filter(_bbox_overlap())
+        return _finish_join(
+            joined, tile_id, label_id, geometry, cell_size, exact, exact_mode,
+            dedupe, dedupe_mode, output_geometry,
+        )
+    elif broadcast_side != "labels":
+        raise ValueError(f"unknown broadcast_side: {broadcast_side!r}")
+
     n_labels = label_count if label_count is not None else labels.count()
 
     if n_labels <= broadcast_rows:
@@ -313,6 +333,27 @@ def spatial_join(
         joined = tile_salted.join(lbl_salted, ["cell", "salt"], "inner").drop("salt")
 
     joined = joined.filter(_bbox_overlap())
+    return _finish_join(
+        joined, tile_id, label_id, geometry, cell_size, exact, exact_mode,
+        dedupe, dedupe_mode, output_geometry,
+    )
+
+
+def _finish_join(
+    joined: DataFrame,
+    tile_id: str,
+    label_id: str,
+    geometry: str,
+    cell_size: float,
+    exact: bool,
+    exact_mode: str,
+    dedupe: bool,
+    dedupe_mode: str,
+    output_geometry: bool,
+) -> DataFrame:
+    """Shared tail of :func:`spatial_join` (both broadcast orientations
+    and the salted path): refpoint/shuffle dedupe, exact residual,
+    column cleanup."""
     if dedupe and dedupe_mode == "refpoint":
         # reference-point dedupe (classic SpatialHadoop/Sedona technique):
         # a (tile, label) pair is joined once per SHARED cover cell; keep

@@ -501,6 +501,18 @@ def append_dataset(
     labels = cat_ops.update_labels(
         labels, state.categories, id_col=id_attribute, name_col=name_attribute
     )
+    if n_labels <= broadcast_rows and os.environ.get(
+        "GEOCOCO_LABELS_MATERIALIZE", "1"
+    ) != "0":
+        # round 8: the enriched-labels plan (category window + dimension
+        # join) otherwise re-executes its multi-job chain inside EVERY
+        # consumer's broadcast build (pairs join, kernel geom attach) —
+        # at bench scale that was ~2 serial mini-job chains of pure
+        # scheduler latency. Materialize once; gated on the same
+        # broadcast threshold that already declares the label side
+        # "small", so a beyond-broadcast label table never pays an extra
+        # full write.
+        labels = labels.localCheckpoint()
 
     # literal-valued projections for the per-image parent window below
     _col0, _col1, _row0, _row1 = _pixel_window_exprs(
@@ -702,7 +714,15 @@ def append_dataset(
         )
         pairs_thin = ckpt.run("pairs", fingerprint, _pairs_thin, metrics)
     else:
-        pairs_thin = _pairs_thin().localCheckpoint()
+        # the pair table is consumed twice downstream (geom rows + pair
+        # rows of the cogroup union). r3-r7 truncated with an EAGER
+        # localCheckpoint; round 8 A/B'd a lazy persist (the two cache
+        # scans sit in different stages of the kernel job, so the join
+        # still computes once) — knob kept for measurement
+        if os.environ.get("GEOCOCO_PAIRS_MATERIALIZE", "localCheckpoint") == "persist":
+            pairs_thin = _pairs_thin().persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            pairs_thin = _pairs_thin().localCheckpoint()
     _submark("pairs_spatial")  # grid + join + materialization (sub-reading)
     img_cg, pairs_banded = banded_cogroup_inputs(images, pairs_thin, band_split_pairs)
     if kernel_input_mode not in ("auto", "broadcast", "cogroup", "cogroup_packed"):
@@ -733,6 +753,10 @@ def append_dataset(
     _mark("pairs_join")
 
     acc = metrics.acc if metrics is not None else None
+    # intermediates pinned by a non-fused kernel schedule, released once
+    # kout itself is durably materialized (ADVICE r07: they were held for
+    # the session lifetime and accumulated across append calls)
+    _sched_persists: list[DataFrame] = []
     # per-worker decode-cache budget (ADVICE r04): workers default from
     # the GEOCOCO_DECODE_CACHE_MB env var (128 MB fallback); this conf
     # overrides per job, riding the kernel closure to every worker
@@ -819,6 +843,16 @@ def append_dataset(
                 .applyInPandas(_kernel_fn, schemas.KERNEL_OUT)
             )
 
+        if kernel_schedule != "fused" and ckpt is not None and ckpt.is_complete(
+            "kernel_out", fingerprint
+        ):
+            # ADVICE r07: preshuffle/waves run eager jobs (two shuffle
+            # materializations / per-wave kernel counts) BEFORE ckpt.run
+            # can notice the resume hit — a resumed pipeline would re-run
+            # the whole kernel (and, in sink mode, append duplicate
+            # payload rows). On a hit, fall back to the lazy fused plan:
+            # ckpt.run reads the checkpoint and the plan never executes.
+            kernel_schedule = "fused"
         if kernel_schedule == "preshuffle":
             # shuffle first (two shuffle-only jobs), burn second from the
             # cached pre-partitioned blocks — no exchange inside the burn
@@ -846,6 +880,7 @@ def append_dataset(
             pairs_side.count()
             if timings is not None:
                 timings["kernel_preshuffle"] = round(_time.perf_counter() - _ps0, 3)
+            _sched_persists += [img_side, pairs_side]
             kout = _cogroup(img_side, pairs_side)
         elif kernel_schedule.startswith("waves:"):
             # k sequential smaller kernel jobs over disjoint image waves
@@ -861,6 +896,7 @@ def append_dataset(
             kout = wave_parts[0]
             for p in wave_parts[1:]:
                 kout = kout.unionByName(p)
+            _sched_persists += wave_parts
         else:
             kout = _cogroup(img_cg, pairs_small)
     if ckpt is not None:
@@ -903,6 +939,15 @@ def append_dataset(
         # several downstream actions (id counts, images, annotations) must
         # not re-run the expensive kernel — pin its output
         kout = kout.persist(StorageLevel.MEMORY_AND_DISK)
+    if _sched_persists:
+        # ADVICE r07: release the schedule's pinned intermediates once
+        # kout no longer depends on them — ckpt.run just wrote kout
+        # durably; on the in-memory path, materialize kout's own cache
+        # first (one count of already-computed wave/preshuffle blocks)
+        if ckpt is None:
+            kout.count()
+        for _df in _sched_persists:
+            _df.unpersist()
     if timings is not None:
         kout.count()  # profiling only: force the kernel into its own phase
         _mark("kernel")
@@ -928,7 +973,12 @@ def append_dataset(
         ann_offset=state.next_annotation_id() - 1,
         # source ids are dense in [1, total sources] after registration
         n_sources=state._known_count("sources", state.sources),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ the id'd metadata rows feed BOTH output tables; callers typically
+    # action each (images count, annotations count/write), and without
+    # the pin every action re-sorts the window over the kernel output
+    # (round 8: one full extra window pass per downstream action). Rows
+    # are metadata-only — payload bytes were dropped above.
     coco_images_new = with_ids.filter(F.col("is_tile")).select(
         F.col("coco_image_id").alias("id"),
         F.col("tile_width").alias("width"),
