@@ -151,8 +151,13 @@ def _hash_star_labels(
         return pd.Series(_star_wkb_batch(px, py, s, t))
 
     e = _hashstar_exprs(salt, extent_cells, _hash60_spark)
+    # single-file customer parquet scans as 1-2 splits — spread before
+    # the WKB Arrow pass so the fixture build parallelizes (round 8)
+    cust = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism, "c_custkey"
+    )
     return (
-        _t(spark, sf_dir, "customer")
+        cust
         .selectExpr(
             "c_custkey AS label_id",
             f"CAST({e['px']} AS DOUBLE) AS px",
@@ -814,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         labels = (
             _t(spark, sf_dir, "customer")
+            .repartition(spark.sparkContext.defaultParallelism, "c_custkey")
             .selectExpr(
                 "c_custkey AS label_id",
                 f"CAST({_PX} AS DOUBLE) AS px",
@@ -871,7 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             return pd.Series(out)
 
-        stars = _t(spark, sf_dir, "customer").selectExpr(
+        stars = _t(spark, sf_dir, "customer").repartition(
+            spark.sparkContext.defaultParallelism, "c_custkey"
+        ).selectExpr(
             "c_custkey AS label_id",
             f"CAST({_PX} AS DOUBLE) AS px",
             f"CAST({_PY} AS DOUBLE) AS py",
@@ -935,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         labels = (
             _t(spark, sf_dir, "customer")
+            .repartition(spark.sparkContext.defaultParallelism, "c_custkey")
             .selectExpr(
                 "c_custkey AS label_id",
                 f"CAST({_EPX} AS DOUBLE) AS px",
@@ -1071,7 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geococo_spark.geometry import rasterize
         from geococo_spark.operators import spatial_join
 
-        boxes = _t(spark, sf_dir, "customer").selectExpr(
+        boxes = _t(spark, sf_dir, "customer").repartition(
+            spark.sparkContext.defaultParallelism, "c_custkey"
+        ).selectExpr(
             "c_custkey AS label_id",
             f"CAST({_PX} - ({_S}) + 0.25 AS DOUBLE) AS label_minx",
             f"CAST({_PY} - ({_S}) + 0.25 AS DOUBLE) AS label_miny",
@@ -1085,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             label_id="label_id",
             exact=False,
             geometry="label_id",  # unused in bbox-only mode
+            broadcast_side="tiles",
         )
 
         @pandas_udf(StringType())
@@ -1142,7 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geococo_spark.geometry import rasterize, rle
         from geococo_spark.operators import spatial_join
 
-        boxes = _t(spark, sf_dir, "customer").selectExpr(
+        boxes = _t(spark, sf_dir, "customer").repartition(
+            spark.sparkContext.defaultParallelism, "c_custkey"
+        ).selectExpr(
             "c_custkey AS label_id",
             f"CAST({_PX} - ({_S}) + 0.25 AS DOUBLE) AS label_minx",
             f"CAST({_PY} - ({_S}) + 0.25 AS DOUBLE) AS label_miny",
@@ -1156,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             label_id="label_id",
             exact=False,
             geometry="label_id",  # unused in bbox-only mode
+            broadcast_side="tiles",
         )
 
         @pandas_udf(StringType())
@@ -1216,7 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geococo_spark.geometry import rasterize, rle
         from geococo_spark.operators import spatial_join
 
-        stars = _t(spark, sf_dir, "customer").selectExpr(
+        stars = _t(spark, sf_dir, "customer").repartition(
+            spark.sparkContext.defaultParallelism, "c_custkey"
+        ).selectExpr(
             "c_custkey AS label_id",
             f"CAST({_PX} AS DOUBLE) AS px",
             f"CAST({_PY} AS DOUBLE) AS py",
@@ -1235,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             label_id="label_id",
             exact=False,
             geometry="label_id",  # unused in bbox-only mode
+            broadcast_side="tiles",
         )
 
         @pandas_udf(StringType())
@@ -1293,7 +1311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geococo_spark.geometry import rasterize, rle
         from geococo_spark.operators import spatial_join
 
-        stars = _t(spark, sf_dir, "customer").selectExpr(
+        stars = _t(spark, sf_dir, "customer").repartition(
+            spark.sparkContext.defaultParallelism, "c_custkey"
+        ).selectExpr(
             "c_custkey AS label_id",
             f"CAST({_PX} AS DOUBLE) AS px",
             f"CAST({_PY} AS DOUBLE) AS py",
@@ -1312,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             label_id="label_id",
             exact=False,
             geometry="label_id",  # unused in bbox-only mode
+            broadcast_side="tiles",
         )
 
         @pandas_udf(StringType())

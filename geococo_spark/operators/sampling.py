@@ -205,6 +205,13 @@ def _with_running_total(
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < nparts:
+        # compact inputs (single parquet file -> 1-2 splits) otherwise
+        # evaluate the upstream projection (tokenization, usually) on
+        # 1-2 cores TWICE — once for the range sampler, once for the
+        # real pass. One keyed exchange of the thin projected rows
+        # spreads both (round 8).
+        df = df.repartition(nparts, F.col(order_col))
     ranged = (
         df.repartitionByRange(nparts, F.col(order_col))
         .sortWithinPartitions(order_col)

@@ -578,6 +578,14 @@ def embedding_near_duplicates(
         raise ValueError(f"unknown verify_mode: {verify_mode!r}")
     base = vectors.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
     if verify_mode == "bucket":
+        # the signature Arrow pass runs in the SCAN stage, so a compact
+        # input (one parquet file -> 1-2 splits) would serialize it on
+        # 1-2 cores regardless of cluster size; spread small inputs
+        # before the UDF (a corpus that already has enough splits skips
+        # the exchange)
+        par = vectors.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par, F.col("vid"))
         planes = [int_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
         sig_all = multi_table_signature_udf(planes)
         qcol = _qvec(F.col("emb"))
