@@ -53,10 +53,10 @@ def sessionize(
         .cast("long")
     )
     return (
-        # project BEFORE the window exchange (guide §2.3): only the three
-        # columns the windows/agg touch ride the user_id shuffle + sort —
-        # payload columns (JSON props, event_type, value) would otherwise
-        # multiply the exchange bytes for nothing
+        # explicit projection to the three columns the windows/agg touch
+        # (round 8: plan inspection showed Catalyst already prunes the
+        # payload columns through the Window, so this is documentation +
+        # insurance against opaque upstream operators, not a measured win)
         events.select(user_col, ts_col, order_tiebreak)
         .withColumn("session_idx", session_idx)
         .groupBy(user_col, "session_idx")

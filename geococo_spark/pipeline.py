@@ -501,9 +501,18 @@ def append_dataset(
     labels = cat_ops.update_labels(
         labels, state.categories, id_col=id_attribute, name_col=name_attribute
     )
-    if n_labels <= broadcast_rows and os.environ.get(
-        "GEOCOCO_LABELS_MATERIALIZE", "1"
-    ) != "0":
+    _labels_pinned = None
+    _labmat = os.environ.get("GEOCOCO_LABELS_MATERIALIZE", "persist")
+    if n_labels <= broadcast_rows and _labmat == "persist":
+        # lazy pin: no eager job here — the first consumer (the pairs
+        # join's broadcast build) populates the cache as part of its own
+        # job, and the kernel's geom attach reads it back (A/B'd round 8:
+        # persist 4.4s vs eager localCheckpoint 4.6s vs neither 5.2s
+        # warm at the 128-image bench). Released before return — by then
+        # the id actions have materialized kout, so nothing re-reads it
+        # (an evicted-kout recompute would just rebuild it).
+        labels = _labels_pinned = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    elif n_labels <= broadcast_rows and _labmat != "0":
         # round 8: the enriched-labels plan (category window + dimension
         # join) otherwise re-executes its multi-job chain inside EVERY
         # consumer's broadcast build (pairs join, kernel geom attach) —
@@ -1064,4 +1073,6 @@ def append_dataset(
     state.tiles = coco_images_new.select(
         "id", "file_name", "image_key", "tile_name"
     ).join(payload, ["image_key", "tile_name"])
+    if _labels_pinned is not None:
+        _labels_pinned.unpersist(False)
     return state

@@ -102,6 +102,23 @@ def sessionized_events(
 
     if events.isStreaming:
         if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+            # ADVICE r07: this ntz -> ltz cast interprets wall-clock
+            # times in the SESSION timezone, so the documented
+            # batch == stream equality requires session tz UTC (the
+            # engine's get_spark pins spark.sql.session.timeZone=UTC;
+            # pin it too when building sessions elsewhere) — under a
+            # DST-shifting session tz, ambiguous/nonexistent local
+            # times could shift or merge sessions vs the batch path.
+            tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+            if tz != "UTC":
+                import warnings
+
+                warnings.warn(
+                    "sessionized_events: streaming ntz->timestamp cast uses "
+                    f"session timeZone {tz!r}; batch==stream equality is only "
+                    "guaranteed under UTC (see get_spark)",
+                    stacklevel=2,
+                )
             events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         events = events.withWatermark(ts_col, watermark)
     return (
