@@ -144,21 +144,27 @@ class CocoState:
     # driver JSON — beyond it the contract API must shard (VERDICT r05 #5)
     MAX_SINGLE_FILE_ANNOTATIONS = 5_000_000
 
+    # shard timestamps round-trip through this exact pattern (Spark
+    # timestamps are microsecond-precision, SSSSSS prints all of them)
+    _SHARD_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
     def to_json_file(
         self,
         path: str,
         shard_annotations_dir: str | None = None,
+        shard_images_dir: str | None = None,
         max_collect_rows: int | None = None,
     ) -> None:
         """save_dataset equivalent (geococo/coco_manager.py:50-59).
 
-        The dimension sections are small (images metadata, categories,
-        sources); annotations can be large — for the single-file COCO
-        contract they are collected here, while the scalable path keeps
-        them as parquet/Iceberg tables (checkpoint.py).
+        The dimension sections are small (categories, sources);
+        annotations — and at tile scale the images list too — can be
+        large: for the single-file COCO contract they are collected
+        here, while the scalable path keeps them as parquet/Iceberg
+        tables (checkpoint.py).
 
-        Guard rails (VERDICT r05 #5 — a 10^12-row state must not OOM the
-        driver through the contract API): with more than
+        Guard rails (VERDICT r05 #5 / r07 #4 — a 10^12-row state must
+        not OOM the driver through the contract API): with more than
         ``max_collect_rows`` annotations (default
         :data:`MAX_SINGLE_FILE_ANNOTATIONS`) a plain call raises; pass
         ``shard_annotations_dir`` to write the annotation section as
@@ -167,8 +173,12 @@ class CocoState:
         OMITS the ``annotations`` key entirely (ADVICE r06: an empty
         list parsed as a valid zero-annotation dataset in standard COCO
         consumers — silent data loss; a missing required section fails
-        loudly instead). Sharded main files are therefore NOT standard
-        COCO and are only readable via :meth:`from_json_file`.
+        loudly instead). The IMAGES section has the same ceiling and the
+        same hatch (``shard_images_dir`` -> ``image_shards`` manifest,
+        no ``images`` key): one row per tile means the images list blows
+        up the driver exactly like annotations do, just later. Sharded
+        main files are therefore NOT standard COCO and are only readable
+        via :meth:`from_json_file`.
         """
         limit = (
             self.MAX_SINGLE_FILE_ANNOTATIONS if max_collect_rows is None else max_collect_rows
@@ -179,6 +189,14 @@ class CocoState:
                 f"to_json_file: {n_anns} annotations exceed the single-file "
                 f"collect ceiling ({limit}); pass shard_annotations_dir= to "
                 "write the annotation section as distributed JSON shards, "
+                "or raise max_collect_rows explicitly"
+            )
+        n_images = self._known_count("images", self.images)
+        if shard_images_dir is None and n_images > limit:
+            raise ValueError(
+                f"to_json_file: {n_images} images exceed the single-file "
+                f"collect ceiling ({limit}); pass shard_images_dir= to "
+                "write the images section as distributed JSON shards, "
                 "or raise max_collect_rows explicitly"
             )
         if shard_annotations_dir is not None:
@@ -202,9 +220,39 @@ class CocoState:
                 .write.mode("overwrite")
                 .json(shard_annotations_dir)
             )
+        if shard_images_dir is not None:
+            # executor-written JSON-lines, same row shape as the inline
+            # section; timestamps as ISO strings the reader re-parses
+            # with the same pattern (exact microsecond round-trip)
+            (
+                self.images.orderBy("id")
+                .select(
+                    "id",
+                    "width",
+                    "height",
+                    "file_name",
+                    "source_id",
+                    F.date_format("date_captured", self._SHARD_TS_FMT).alias(
+                        "date_captured"
+                    ),
+                )
+                .write.mode("overwrite")
+                .json(shard_images_dir)
+            )
         doc = {
             "info": self.info,
-            "images": [
+        }
+        if shard_images_dir is not None:
+            # like annotations: no "images" key at all — a standard COCO
+            # consumer must fail on the missing section, never silently
+            # parse a zero-image dataset
+            doc["image_shards"] = {
+                "dir": shard_images_dir,
+                "count": n_images,
+                "format": "json-lines",
+            }
+        else:
+            doc["images"] = [
                 {
                     "id": r["id"],
                     "width": r["width"],
@@ -216,7 +264,8 @@ class CocoState:
                     else None,
                 }
                 for r in self.images.orderBy("id").collect()
-            ],
+            ]
+        doc.update({
             "categories": [
                 {"id": r["id"], "name": r["name"], "supercategory": r["supercategory"]}
                 for r in self.categories.orderBy("id").collect()
@@ -231,7 +280,7 @@ class CocoState:
                 }
                 for r in self.sources.orderBy("id").collect()
             ],
-        }
+        })
         if shard_annotations_dir is not None:
             # no "annotations" key AT ALL (ADVICE r06): a standard COCO
             # consumer must fail on the missing section, never silently
@@ -276,13 +325,38 @@ class CocoState:
         def ts(v):
             return datetime.fromisoformat(v) if v else None
 
-        images = spark.createDataFrame(
-            [
-                (r["id"], r["width"], r["height"], r["file_name"], r["source_id"], ts(r["date_captured"]))
-                for r in doc.get("images", [])
-            ],
-            schemas.COCO_IMAGES,
-        )
+        img_shards = doc.get("image_shards")
+        if img_shards is not None:
+            img_json_schema = (
+                "id BIGINT, width INT, height INT, file_name STRING, "
+                "source_id BIGINT, date_captured STRING"
+            )
+            images = (
+                spark.read.schema(img_json_schema)
+                .json(img_shards["dir"])
+                .select(
+                    "id",
+                    "width",
+                    "height",
+                    "file_name",
+                    "source_id",
+                    F.to_timestamp("date_captured", cls._SHARD_TS_FMT).alias(
+                        "date_captured"
+                    ),
+                )
+            )
+            n_shard_imgs = (
+                int(img_shards["count"]) if "count" in img_shards else images.count()
+            )
+        else:
+            images = spark.createDataFrame(
+                [
+                    (r["id"], r["width"], r["height"], r["file_name"], r["source_id"], ts(r["date_captured"]))
+                    for r in doc.get("images", [])
+                ],
+                schemas.COCO_IMAGES,
+            )
+            n_shard_imgs = None
         shards = doc.get("annotation_shards")
         if shards is not None:
             ann_json_schema = (
@@ -337,7 +411,11 @@ class CocoState:
         return cls(
             images, annotations, categories, sources, doc.get("info", {}),
             cached_counts={
-                "images": len(doc.get("images", [])),
+                "images": (
+                    n_shard_imgs
+                    if n_shard_imgs is not None
+                    else len(doc.get("images", []))
+                ),
                 "annotations": (
                     n_shard_anns
                     if n_shard_anns is not None

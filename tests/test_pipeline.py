@@ -800,9 +800,44 @@ class TestJsonRoundTrip:
         p = str(tmp_path / "guard.json")
         with pytest.raises(ValueError, match="shard_annotations_dir"):
             appended.to_json_file(p, max_collect_rows=1)
+        # VERDICT r07 #4: the IMAGES section has the same ceiling — with
+        # annotations sharded but images inline, the guard must still
+        # refuse (one row per tile OOMs the driver through images too)
+        with pytest.raises(ValueError, match="shard_images_dir"):
+            appended.to_json_file(
+                # the fixture holds ONE image -> ceiling 0 trips its guard
+                p, shard_annotations_dir=str(tmp_path / "sh"), max_collect_rows=0
+            )
         appended.to_json_file(
-            p, shard_annotations_dir=str(tmp_path / "sh"), max_collect_rows=1
+            p,
+            shard_annotations_dir=str(tmp_path / "sh"),
+            shard_images_dir=str(tmp_path / "ish"),
+            max_collect_rows=0,
         )
+
+    def test_sharded_images_roundtrip(self, spark, tmp_path, appended):
+        # VERDICT r07 #4: the images shard hatch must round-trip
+        # identically to the inline path (same tables, same id counters)
+        p = str(tmp_path / "coco_imgsharded.json")
+        shard_dir = str(tmp_path / "img_shards")
+        appended.to_json_file(p, shard_images_dir=shard_dir)
+        import json as _json
+
+        with open(p) as fh:
+            doc = _json.load(fh)
+        # no "images" key at all — a standard COCO consumer must fail
+        # loudly, not parse a zero-image dataset
+        assert "images" not in doc
+        assert doc["image_shards"]["dir"] == shard_dir
+        assert "annotations" in doc  # annotations stayed inline
+        loaded = CocoState.from_json_file(spark, p)
+        assert loaded.info == appended.info
+        for attr in ("images", "annotations", "categories", "sources"):
+            a = sorted(map(str, getattr(appended, attr).collect()))
+            b = sorted(map(str, getattr(loaded, attr).collect()))
+            assert a == b, attr
+        assert loaded.next_image_id() == appended.next_image_id()
+        assert loaded.next_annotation_id() == appended.next_annotation_id()
 
 
 class TestVersionBump:
