@@ -1,6 +1,8 @@
 """Tests for the training-data pipeline operators (text analysis, dedup,
 similarity search) on the driver's documents/embeddings tables."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import Row
@@ -932,6 +934,75 @@ class TestDuplicateClusters:
         assert os.path.exists(os.path.join(ckdir, "cc_edges"))
         assert os.path.exists(os.path.join(ckdir, "cc_round_0"))
         assert os.path.exists(os.path.join(ckdir, "cc_round_1"))
+
+    def test_durable_checkpoint_lost_round_fails_loudly(self, spark, tmp_path, monkeypatch):
+        # VERDICT r07 #7: fault injection for the durable CC path. If the
+        # parquet slot of the LAST materialized round disappears mid-loop
+        # (lost scratch storage), the next round's job must fail LOUDLY —
+        # never return a silently half-propagated labeling. Injection:
+        # wrap materialize so the round-0 slot is deleted right after it
+        # is written; round 1 consumes it and must blow up.
+        import shutil
+
+        from geococo_spark import checkpoint as _ck
+
+        real_materialize = _ck.materialize
+
+        def lossy_materialize(df, checkpoint_dir=None, name="step"):
+            out = real_materialize(df, checkpoint_dir, name)
+            if name == "cc_round_0" and checkpoint_dir is not None:
+                shutil.rmtree(os.path.join(checkpoint_dir, name))
+            return out
+
+        monkeypatch.setattr("geococo_spark.operators.dedup.materialize", lossy_materialize)
+        # a 12-chain needs several propagation rounds, so round 1 always runs
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        with pytest.raises(Exception) as ei:
+            dedup.duplicate_clusters(
+                pairs, max_iters=20, checkpoint_dir=str(tmp_path / "cc_ck")
+            ).collect()
+        # loud and attributable: the error names the missing files/slot,
+        # not a wrong answer and not a generic convergence failure
+        msg = str(ei.value)
+        assert "not converged" not in msg
+        assert any(s in msg for s in ("cc_round_0", "FileNotFound", "does not exist", "REFRESH"))
+
+    def test_durable_checkpoint_stale_round_loss_is_harmless(self, spark, tmp_path, monkeypatch):
+        # the companion property: losing an already-CONSUMED round slot
+        # (the loop alternates two slots; round k only ever reads round
+        # k-1's output) must not affect the result — the fixpoint is
+        # identical to the undamaged run.
+        import shutil
+
+        from geococo_spark import checkpoint as _ck
+
+        real_materialize = _ck.materialize
+
+        def lossy_materialize(df, checkpoint_dir=None, name="step"):
+            if name == "cc_round_1" and checkpoint_dir is not None:
+                # round 1 is about to overwrite slot 1; slot 0 (just
+                # consumed by this round's plan... but the plan has
+                # ALREADY run by the time this returns) — delete slot 0
+                # AFTER round 1's job completes instead
+                out = real_materialize(df, checkpoint_dir, name)
+                stale = os.path.join(checkpoint_dir, "cc_round_0")
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+                return out
+            return real_materialize(df, checkpoint_dir, name)
+
+        monkeypatch.setattr("geococo_spark.operators.dedup.materialize", lossy_materialize)
+        edges = [(i, i + 1) for i in range(6)] + [(100, 101)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(
+                pairs, max_iters=20, checkpoint_dir=str(tmp_path / "cc_ck2")
+            ).collect()
+        }
+        assert got == self._reference_cc(edges)
 
     def test_end_to_end_minhash_clusters(self, docs):
         # the production shape: minhash pairs -> transitive clusters;
