@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 from geococo_spark.session import get_spark
 from geococo_spark.operators import dedup
 from geococo_spark.operators import similarity as sim
+from geococo_spark.operators import text as text_ops
+from geococo_spark.operators import sampling as sampling_ops
+from geococo_spark.operators import events as events_ops
 
 master, op, stage, sf_dir = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 amp, reps = int(sys.argv[5]), int(sys.argv[6])
@@ -61,7 +64,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 def stage_amplified(name, amp):
     path = f"{{stage}}/{{name}}_x{{amp}}" + (
-        f"_e{{eps}}_{{perturb}}" if name != "documents" else ""
+        f"_e{{eps}}_{{perturb}}" if name not in ("documents", "events") else ""
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = spark.read.parquet(f"{{sf_dir}}/{{name}}.parquet")
@@ -71,6 +74,16 @@ def stage_amplified(name, amp):
             out = base.crossJoin(reps_df).select(
                 (F.col("doc_id") + F.col("rep") * (n * 10)).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+            )
+        elif name == "events":
+            # user cardinality scales with amp, per-user volume constant
+            # (a bigger day of traffic, not a deeper bot user) — the
+            # operator-scaling shape for sessionize
+            out = base.crossJoin(reps_df).select(
+                (F.col("event_id") + F.col("rep") * n).alias("event_id"),
+                F.col("ts"),
+                (F.col("user_id") * amp + F.col("rep")).alias("user_id"),
+                "event_type", "value", "props",
             )
         else:
             if perturb == "rotate":
@@ -195,6 +208,37 @@ def build(op):
         return lambda: sim.ivf_topk(
             embs, probes, dim=64, k=5, n_centroids=32, n_probe=4, centroids=cents
         ).count()
+    # ---- r7/r8 operator batch (VERDICT r07 #6). These are forced with
+    # a NOOP SINK, not count(): count() lets Catalyst prune the expensive
+    # column (span reassembly, window session ids, the packed offsets),
+    # so a count-based row would time the skeleton, not the operator.
+    def sink(df):
+        df.write.format("noop").mode("overwrite").save()
+        return None
+
+    if op == "vocab":
+        docs = stage_amplified("documents", amp)
+        return lambda: sink(text_ops.vocab_stats(docs))
+    if op == "span_dedup":
+        docs = stage_amplified("documents", amp)
+        return lambda: sink(dedup.dedup_spans(docs, "doc_id", "text", k=3, min_count=2))
+    if op == "decontaminate":
+        docs = stage_amplified("documents", amp)
+        bench = docs.filter(F.col("doc_id") % 17 == 0)
+        corpus = docs.filter(F.col("doc_id") % 17 != 0)
+        return lambda: sink(dedup.decontaminate(corpus, bench, k=3))
+    if op == "quality_filter":
+        docs = stage_amplified("documents", amp)
+        return lambda: sink(text_ops.apply_quality_filters(docs))
+    if op == "pack_chunks":
+        docs = stage_amplified("documents", amp)
+        toks = text_ops.with_token_stats(docs).select("doc_id", "n_tokens")
+        return lambda: sink(
+            sampling_ops.pack_chunks(toks, "doc_id", "n_tokens", target=64)
+        )
+    if op == "sessionize":
+        ev = stage_amplified("events", amp)
+        return lambda: sink(events_ops.sessionize(ev))
     raise SystemExit(f"unknown op {{op}}")
 
 fn = build(op)
