@@ -395,12 +395,15 @@ class TestSessionize:
         assert got == ref
 
     def test_single_window_exchange(self, spark):
-        """Scale-shape pin: both analytic windows (lag + running sum)
-        must share ONE Window node / one user_id exchange; the final
-        agg adds one more. No global (unpartitioned) window anywhere."""
+        """Scale-shape pin for the UNBUCKETED path (bucket=None): both
+        analytic windows (lag + running sum) must share ONE Window node
+        / one user_id exchange; the final agg adds one more. No global
+        (unpartitioned) window anywhere."""
         from geococo_spark.operators import events as ev_ops
 
-        df = ev_ops.sessionize(self._ev(spark, [(1, 0), (1, 5), (2, 3)]))
+        df = ev_ops.sessionize(
+            self._ev(spark, [(1, 0), (1, 5), (2, 3)]), bucket=None
+        )
         plan = df._jdf.queryExecution().executedPlan().toString()
         import re
 
@@ -416,6 +419,115 @@ class TestSessionize:
         assert len(widx) == 2, plan[:2000]
         between = "\n".join(lines[widx[0] + 1: widx[1]])
         assert "Exchange" not in between and "Sort" not in between, between
+
+    def test_bucketed_plan_shape(self, spark):
+        """Scale-shape pin for the DEFAULT (bucketed) path (VERDICT r07
+        #5): the windows that touch EVENT rows must be partitioned by
+        (user_id, bucket) — no task ever holds a hot user's full
+        history — and only the segment-level windows (tiny input) key
+        on user_id alone. Each pass's two windows share one
+        exchange+sort."""
+        from geococo_spark.operators import events as ev_ops
+
+        df = ev_ops.sessionize(self._ev(spark, [(1, 0), (1, 5), (2, 3)]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan)
+        assert specs, plan[:2000]
+        pass1 = [s for s in specs if "__sb" in s]
+        pass2 = [s for s in specs if "__sb" not in s]
+        # pass 1 (event rows): partitioned by user AND time bucket
+        assert pass1 and all("user_id" in s for s in pass1), specs
+        # pass 2 (segment rows): partitioned by user
+        assert pass2 and all("user_id" in s for s in pass2), specs
+        # no global window anywhere
+        assert all("user_id" in s for s in specs), specs
+        # exactly two shared exchange+sort groups: 4 Window nodes, and
+        # no Exchange/Sort between the two nodes of each pass
+        lines = plan.splitlines()
+        widx = [i for i, l in enumerate(lines) if "Window [" in l]
+        assert len(widx) == 4, plan[:2000]
+        for a, b in ((widx[0], widx[1]), (widx[2], widx[3])):
+            between = "\n".join(lines[a + 1: b])
+            assert "Exchange" not in between and "Sort" not in between, between
+
+    def test_bot_user_split_across_buckets(self, spark):
+        """VERDICT r07 #5 adversarial pin: a bot identity with 10^6
+        events must be SPLIT across its (user, hour-bucket) groups —
+        the largest pass-1 group is bounded by the bucket width, not
+        the user's total volume — and the output must still be exact,
+        including sessions that span bucket boundaries."""
+        from pyspark.sql import functions as F
+
+        from geococo_spark.operators import events as ev_ops
+
+        n = 1_000_000
+        # one event every 4 s -> ~46 days of activity, sessions broken
+        # only by the planted 31-min holes every 100k events (hole falls
+        # mid-hour, so merges and breaks both cross bucket cuts)
+        bot = (
+            spark.range(n)
+            .select(
+                F.lit(7).alias("user_id"),
+                (
+                    F.timestamp_seconds(
+                        F.lit(1_600_000_000)
+                        + F.col("id") * 4
+                        + (F.col("id") / 100_000).cast("long") * 1860
+                    )
+                ).alias("ts"),
+                F.col("id").alias("event_id"),
+            )
+        )
+        # the largest (user, hour) group holds <= 900 events (3600/4):
+        # no single task sees the bot's 10^6-event history
+        biggest = (
+            bot.groupBy("user_id", F.date_trunc("hour", "ts").alias("b"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert biggest <= 900, biggest
+        got = {
+            (r.user_id, r.session_idx): r.n_events
+            for r in ev_ops.sessionize(bot).collect()
+        }
+        # 10 sessions of exactly 100k events (holes every 100k)
+        assert got == {(7, i): 100_000 for i in range(1, 11)}, dict(list(got.items())[:5])
+
+    def test_bucketed_equals_unbucketed_randomized(self, spark):
+        """Equality pin: the bucketed default must produce EXACTLY the
+        single-window result on randomized event sets, across bucket
+        granularities, including gap==threshold boundary events placed
+        right at bucket cuts."""
+        import random
+        from datetime import datetime, timedelta
+
+        from geococo_spark.operators import events as ev_ops
+
+        rng = random.Random(80)
+        t0 = datetime(2031, 3, 1)
+        rows = []
+        eid = 0
+        for u in range(1, 25):
+            t = rng.randrange(0, 120)
+            for _ in range(rng.randrange(1, 120)):
+                # gaps cluster around the 30-min threshold and hour marks
+                t += rng.choice([1, 5, 29, 30, 31, 60, 61, 1440])
+                rows.append((u, t0 + timedelta(minutes=t), eid))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, event_id long"
+        )
+        base = sorted(
+            map(tuple, ev_ops.sessionize(ev, bucket=None).collect())
+        )
+        for unit in ("minute", "hour", "day"):
+            got = sorted(
+                map(tuple, ev_ops.sessionize(ev, bucket=unit).collect())
+            )
+            assert got == base, unit
 
     def test_agrees_with_spark_session_window_builtin(self, spark):
         """Cross-validation against an INDEPENDENT implementation:
